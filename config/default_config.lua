@@ -1,0 +1,64 @@
+-- nautilus_tpu default configuration.
+-- Every run-specific config should include this file first:
+--   dofile(debug.getinfo(1).source:match("@?(.*/)") .. '/default_config.lua')
+-- and then override individual keys.  Key names and default values are the
+-- stable API surface shared with the reference engine; do not rename keys.
+
+-- ===== I/O and problem size =====
+bag_path=""                          -- ROS bag to ingest, relative to repo root
+pose_number=30                       -- max number of pose-graph nodes to build
+odom_topic=""                        -- nav_msgs/Odometry topic
+lidar_topic=""                       -- sensor_msgs/LaserScan topic
+differential_odom=false              -- true for CobotOdometryMsg differential odometry
+pose_output_file="poses.txt"         -- "timestamp x y theta" lines on write
+map_output_file="map.txt"            -- vectorized map CSV on vectorize
+
+-- ===== Optimization tuning =====
+translation_weight=1                 -- odometry residual translation multiplier
+rotation_weight=1                    -- odometry residual rotation multiplier
+accuracy_change_stop_threshold = 0.0001   -- kept for surface parity (window loop is size-driven)
+max_lidar_range=30                   -- ranges beyond this are dropped at ingest
+rotation_change_for_lidar=math.pi / 18    -- min rotation to capture a new node
+translation_change_for_lidar=0.25         -- min translation to capture a new node
+lidar_constraint_amount_min=1        -- growing-window start (scans compared per node)
+lidar_constraint_amount_max=10       -- growing-window end
+outlier_threshold=0.25               -- max distance for an ICP/ICL point match
+
+-- Motion-model standard deviations, proportional to per-node motion.
+translation_scaling_1 = 1 / 10.0
+translation_scaling_2 = 1 / 10.0
+rotation_scaling_1 = 1 / 20.0
+rotation_scaling_2 = 1 / 20.0
+translation_standard_deviation = translation_scaling_1 * translation_change_for_lidar + rotation_scaling_1 * rotation_change_for_lidar
+rotation_standard_deviation = translation_scaling_2 * translation_change_for_lidar + rotation_scaling_2 * rotation_change_for_lidar
+
+-- ===== Human-in-the-loop loop closure =====
+hitl_lc_topic="/hitl_slam_input"     -- topic carrying HitlSlamInputMsg line pairs
+csm_score_threshold=-5.0             -- min correlative-scan-match score to accept
+hitl_line_width=0.05                 -- max distance for a point to lie on a HITL line
+hitl_pose_point_threshold=10         -- min points on a line for a pose to join the constraint
+
+-- ===== Automatic loop closure =====
+auto_lc=false
+keyframe_chi_squared_test=false
+keyframe_min_odom_distance=0.5
+keyframe_local_uncertainty_filtering=true
+local_uncertainty_condition_threshold=9.5
+local_uncertainty_scale_threshold=0.3
+local_uncertainty_prev_scans=2
+lc_match_threshold=0.5
+lc_base_max_range = 3.5
+lc_max_range_scaling = 0.01
+lc_translation_weight=1
+lc_rotation_weight=1
+lc_min_keyframes=7
+lc_match_window_size=5
+lc_debug_output_dir="auto_lc_debug"
+
+-- ===== Normal computation =====
+nc_neighborhood_size=0.15            -- initial neighborhood radius
+nc_neighborhood_step_size=0.1        -- radius growth per retry
+nc_mean_distance=0.1                 -- sample-budget constant
+nc_bin_number=32                     -- angular bins (Hough variant only)
+
+sampling_distance=0.25               -- kept for surface parity

@@ -91,6 +91,12 @@ class SLAMState:
     # reference src/optimization/data_structures.h:46).
     line_poses: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 3), dtype=np.float64))
+    # Active odometry factors (i, j, trans, rot) — replaced by solved-odometry
+    # factors during HITL (reference solver.cc:535, 406-427).
+    odometry_factors: tuple = ()
+    # The ingest-time factors, kept for the reference's restore step
+    # (solver.cc:554; note §2d: the reference restores an *empty* list).
+    initial_odometry_factors: tuple = ()
 
     @classmethod
     def from_problem(cls, problem: SLAMProblem,
@@ -98,8 +104,13 @@ class SLAMState:
         init = np.asarray(problem.initial_poses, dtype=np.float64)
         if timestamps is None:
             timestamps = np.zeros(init.shape[0], dtype=np.float64)
+        factors = (np.asarray(problem.odom_i), np.asarray(problem.odom_j),
+                   np.asarray(problem.odom_trans, np.float64),
+                   np.asarray(problem.odom_rot, np.float64))
         return cls(problem=problem, solution=init.copy(),
-                   timestamps=np.asarray(timestamps, dtype=np.float64))
+                   timestamps=np.asarray(timestamps, dtype=np.float64),
+                   odometry_factors=factors,
+                   initial_odometry_factors=factors)
 
     @property
     def num_nodes(self) -> int:

@@ -1,0 +1,134 @@
+"""Batched correspondence search — the TPU replacement for KD-tree ICP/ICL.
+
+The reference finds, per pose pair and per source point, the nearest target
+point within outlier_threshold via per-point KD-tree queries
+(reference src/optimization/solver.cc:132-172 GetPointToPointMatching,
+src/util/kdtree.cc:254-305), plus a normal-gated variant with a growing
+threshold sweep (solver.cc:177-260 GetPointToNormalMatching).  Here the same
+matching runs as masked distance-matrix argmins batched over *all pose pairs
+at once*:
+
+- Pair enumeration (i, j in [i - w_max, i)) is static per dataset
+  (reference BuildOptimizationOverWindow solver.cc:321-333); the growing
+  window enters as a per-pair validity mask, so one compiled program serves
+  every window size.
+- The growing-threshold sweep of the reference is equivalent to "nearest
+  point with similar normal within the max threshold" (each sweep level is
+  an early-exit of the same search), which is how the gated variant is
+  implemented here.
+- Normals are looked up by feature index into the full-cloud normal array,
+  preserving the reference's full-cloud-tree normal lookups
+  (solver.cc:150-155, 67-77) without the exact-match KD query.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nautilus_tpu.core import geometry as geo
+from nautilus_tpu.core.problem import SLAMProblem
+from nautilus_tpu.solve.factors import Correspondences
+
+
+class PairList(NamedTuple):
+    """Static (source, target) pair enumeration for a max window size."""
+
+    src: np.ndarray  # [Q] int32, src > tgt
+    tgt: np.ndarray  # [Q] int32
+
+
+def make_pairs(num_nodes: int, max_window: int) -> PairList:
+    """All pairs (i, j) with i - max_window <= j < i (solver.cc:324-331)."""
+    src, tgt = [], []
+    for i in range(num_nodes):
+        for j in range(max(i - max_window, 0), i):
+            src.append(i)
+            tgt.append(j)
+    return PairList(np.asarray(src, np.int32), np.asarray(tgt, np.int32))
+
+
+def _match_pair(src_pts, src_mask, src_nrm, tgt_pts, tgt_mask, tgt_nrm,
+                outlier_threshold, normal_gate_cos, pose_s, pose_t,
+                use_normal_gate: bool):
+    """Match one pair's source features [S, 2] against target features [T, 2].
+
+    Returns (tgt_match [S, 2], tgt_match_nrm [S, 2], valid [S]).
+    """
+    proj = geo.relative_pose_transform_points(pose_s, pose_t, src_pts)
+    diff = proj[:, None, :] - tgt_pts[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)                       # [S, T]
+    ok = tgt_mask[None, :]
+    if use_normal_gate:
+        # Reference FindClosestPointWithSimilarNormal: nearest target whose
+        # normal is within 20 deg (|cos| gate) of the source normal.
+        sim = jnp.abs(jnp.sum(src_nrm[:, None, :] * tgt_nrm[None, :, :],
+                              axis=-1)) > normal_gate_cos
+        ok = ok & sim
+    d2 = jnp.where(ok, d2, jnp.inf)
+    nn = jnp.argmin(d2, axis=-1)                             # [S]
+    dmin = jnp.take_along_axis(d2, nn[:, None], axis=-1)[:, 0]
+    valid = src_mask & (dmin < outlier_threshold ** 2)
+    tgt_match = tgt_pts[nn]
+    tgt_match_nrm = tgt_nrm[nn]
+    return tgt_match, tgt_match_nrm, valid
+
+
+@functools.partial(jax.jit, static_argnames=("feature", "use_normal_gate"))
+def associate(problem: SLAMProblem, x, pair_src, pair_tgt, window,
+              outlier_threshold, feature: str = "planar",
+              use_normal_gate: bool = False,
+              normal_gate_cos: float = 0.9396926) -> Correspondences:
+    """Batched matching for all pairs at the current solution x [N, 3].
+
+    feature: "planar" | "edge" | "all" — which per-node point set to match
+    (reference PointcloudType, solver.h:67).  The window enters as a pair
+    mask: pairs with src - tgt > window contribute no correspondences.
+    """
+    if feature == "planar":
+        pts, msk = problem.planar_points, problem.planar_mask
+        nrm = problem.planar_normals
+    elif feature == "edge":
+        pts, msk = problem.edge_points, problem.edge_mask
+        nrm = problem.edge_normals
+    elif feature == "all":
+        pts, msk, nrm = problem.points, problem.points_mask, problem.normals
+    else:
+        raise ValueError(feature)
+
+    pair_valid = (pair_src - pair_tgt) <= window
+
+    def one(s, t, pv):
+        tgt_match, tgt_match_nrm, valid = _match_pair(
+            pts[s], msk[s], nrm[s], pts[t], msk[t], nrm[t],
+            outlier_threshold, normal_gate_cos, x[s], x[t], use_normal_gate)
+        return tgt_match, tgt_match_nrm, valid & pv
+
+    tgt_match, tgt_match_nrm, valid = jax.vmap(one)(pair_src, pair_tgt,
+                                                    pair_valid)
+    return Correspondences(
+        src=pair_src, tgt=pair_tgt,
+        src_pts=pts[pair_src], tgt_pts=tgt_match,
+        src_nrm=nrm[pair_src], tgt_nrm=tgt_match_nrm,
+        mask=valid)
+
+
+def associate_chunked(problem: SLAMProblem, x, pairs: PairList, window,
+                      outlier_threshold, feature: str = "all",
+                      use_normal_gate: bool = False,
+                      chunk: int = 128) -> Correspondences:
+    """Chunked variant for full clouds (OptimizationType::ALL): bounds the
+    [chunk, P, P] distance-matrix working set in HBM."""
+    q = len(pairs.src)
+    outs = []
+    for lo in range(0, q, chunk):
+        hi = min(lo + chunk, q)
+        outs.append(associate(
+            problem, x, jnp.asarray(pairs.src[lo:hi]),
+            jnp.asarray(pairs.tgt[lo:hi]), window, outlier_threshold,
+            feature=feature, use_normal_gate=use_normal_gate))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)

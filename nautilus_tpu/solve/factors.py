@@ -1,0 +1,248 @@
+"""Batched residual factors + Gauss-Newton normal-equation assembly.
+
+This replaces the reference's per-block Ceres autodiff cost functors
+(reference src/optimization/slam_residuals.h:17-216) with fixed-shape
+batched residual functions differentiated by jax.jacfwd, and replaces
+Ceres' sparse problem assembly with direct scatter-add of per-factor
+6x6 blocks into dense normal equations (H = J^T J, g = J^T r).
+
+Residual semantics match the reference exactly:
+
+- OdometryResidual (slam_residuals.h:17-61): world-frame translation delta
+  plus wrapped rotation delta, scaled by translation/rotation weights.
+- LIDARNormalResidual (slam_residuals.h:64-121): two signed residuals per
+  correspondence — the source point transformed into the target frame,
+  projected onto the *target* normal and onto the *source* normal.  Note the
+  source normal is used unrotated (in its own scan frame) against a
+  target-frame difference vector; that is the reference's behavior and is
+  preserved for cost parity.
+- LIDARPointResidual (slam_residuals.h:123-177): plain 2D point difference
+  in the target frame.
+- PointToLineResidual (slam_residuals.h:179-216): distance of each
+  pose-transformed point to a human-drawn line segment that is itself
+  transformed by a free SE(2) "line pose" parameter block.
+
+The dof vector is x: [M, 3] with M = num_nodes + num_hitl_line_poses; the
+HITL free line poses (reference data_structures.h:46) live at indices >=
+num_nodes.
+
+Parallelism: every per-correspondence OpenMP loop in the reference
+(slam_residuals.h:75,134,190) is a vmapped batch dimension here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nautilus_tpu.core import geometry as geo
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class OdomFactors(NamedTuple):
+    """[F] odometry factors (reference slam_types.h:102-120)."""
+
+    i: jnp.ndarray        # [F] int32
+    j: jnp.ndarray        # [F] int32
+    trans: jnp.ndarray    # [F, 2] world-frame translation i -> j
+    rot: jnp.ndarray      # [F]
+    mask: jnp.ndarray     # [F] bool
+
+    @property
+    def count(self):
+        return self.i.shape[0]
+
+
+class Correspondences(NamedTuple):
+    """[Q, S] point matches between pose pairs (one row per pair).
+
+    Replaces reference PointCorrespondences (data_structures.h:62-100).
+    Source points/normals are in the source scan frame; target points/normals
+    in the target scan frame; ``mask`` covers both slot validity and pair
+    validity (pair outside current window => all slots masked).
+    """
+
+    src: jnp.ndarray       # [Q] int32 source node index
+    tgt: jnp.ndarray       # [Q] int32 target node index
+    src_pts: jnp.ndarray   # [Q, S, 2]
+    tgt_pts: jnp.ndarray   # [Q, S, 2]
+    src_nrm: jnp.ndarray   # [Q, S, 2]
+    tgt_nrm: jnp.ndarray   # [Q, S, 2]
+    mask: jnp.ndarray      # [Q, S] bool
+
+
+class HitlFactors(NamedTuple):
+    """[R, K] HITL colinearity participations (one row per constrained pose).
+
+    Each row ties one node's on-line points to one free line pose.  Matching
+    the reference quirk, the *line_a* segment endpoints are used for both
+    line-a and line-b pose sets (solver.cc:521,528) — the colinearity merge.
+    """
+
+    node: jnp.ndarray        # [R] int32 node index
+    line: jnp.ndarray        # [R] int32 dof index of the line pose (>= N)
+    points: jnp.ndarray      # [R, K, 2] points in the node's scan frame
+    mask: jnp.ndarray        # [R, K] bool
+    seg_start: jnp.ndarray   # [R, 2] line endpoints in the line pose's frame
+    seg_end: jnp.ndarray     # [R, 2]
+
+
+class FactorGraph(NamedTuple):
+    odom: OdomFactors
+    planar: Correspondences   # -> normal residuals
+    edge: Correspondences     # -> point residuals
+    hitl: HitlFactors
+
+
+def empty_hitl(dtype=jnp.float32) -> HitlFactors:
+    z = functools.partial(jnp.zeros, dtype=dtype)
+    return HitlFactors(
+        node=jnp.zeros((0,), jnp.int32), line=jnp.zeros((0,), jnp.int32),
+        points=z((0, 1, 2)), mask=jnp.zeros((0, 1), bool),
+        seg_start=z((0, 2)), seg_end=z((0, 2)))
+
+
+# ---------------------------------------------------------------------------
+# Per-item residual functions.  Each takes the two involved pose vectors and
+# the per-item data, returns a masked residual vector.  Masks are constants
+# w.r.t. poses, so jacfwd yields correctly masked Jacobians.
+# ---------------------------------------------------------------------------
+
+def odom_residual(pose_i, pose_j, trans, rot, mask, tw, rw):
+    """3 residuals (reference slam_residuals.h:19-40)."""
+    et = pose_i[:2] + trans - pose_j[:2]
+    dr = pose_i[2] + rot - pose_j[2]
+    er = jnp.arctan2(jnp.sin(dr), jnp.cos(dr))
+    m = mask.astype(pose_i.dtype)
+    return jnp.stack([tw * et[0], tw * et[1], rw * er]) * m
+
+
+def normal_residual(pose_s, pose_t, src_pts, tgt_pts, src_nrm, tgt_nrm, mask):
+    """[S, 2] signed point-to-plane residuals (slam_residuals.h:66-88)."""
+    p_t = geo.relative_pose_transform_points(pose_s, pose_t, src_pts)
+    diff = p_t - tgt_pts                     # [S, 2] in target frame
+    r_tgt = jnp.sum(tgt_nrm * diff, axis=-1)
+    r_src = jnp.sum(src_nrm * (-diff), axis=-1)
+    m = mask.astype(pose_s.dtype)
+    return jnp.stack([r_tgt * m, r_src * m], axis=-1)
+
+
+def point_residual(pose_s, pose_t, src_pts, tgt_pts, mask):
+    """[S, 2] point-difference residuals (slam_residuals.h:125-144)."""
+    p_t = geo.relative_pose_transform_points(pose_s, pose_t, src_pts)
+    diff = tgt_pts - p_t
+    return diff * mask[..., None].astype(pose_s.dtype)
+
+
+def hitl_residual(pose_node, pose_line, points, mask, seg_start, seg_end):
+    """[K] point-to-segment distances (slam_residuals.h:181-199)."""
+    world = geo.pose_transform_points(pose_node, points)
+    a = geo.pose_transform_points(pose_line, seg_start)
+    b = geo.pose_transform_points(pose_line, seg_end)
+    d = geo.distance_to_line_segment(world, a, b)
+    return d * mask.astype(pose_node.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Cost evaluation
+# ---------------------------------------------------------------------------
+
+def total_cost(x, graph: FactorGraph, tw, rw):
+    """Ceres-convention total cost: 0.5 * sum of squared residuals."""
+    acc = jnp.zeros((), x.dtype)
+    od = graph.odom
+    if od.count:
+        r = jax.vmap(odom_residual, in_axes=(0, 0, 0, 0, 0, None, None))(
+            x[od.i], x[od.j], od.trans, od.rot, od.mask, tw, rw)
+        acc = acc + jnp.sum(r * r)
+    for corr, fn in ((graph.planar, normal_residual),
+                     (graph.edge, point_residual)):
+        if corr.src.shape[0]:
+            if fn is normal_residual:
+                r = jax.vmap(fn)(x[corr.src], x[corr.tgt], corr.src_pts,
+                                 corr.tgt_pts, corr.src_nrm, corr.tgt_nrm,
+                                 corr.mask)
+            else:
+                r = jax.vmap(fn)(x[corr.src], x[corr.tgt], corr.src_pts,
+                                 corr.tgt_pts, corr.mask)
+            acc = acc + jnp.sum(r * r)
+    h = graph.hitl
+    if h.node.shape[0]:
+        r = jax.vmap(hitl_residual)(x[h.node], x[h.line], h.points, h.mask,
+                                    h.seg_start, h.seg_end)
+        acc = acc + jnp.sum(r * r)
+    return 0.5 * acc
+
+
+# ---------------------------------------------------------------------------
+# Normal-equation assembly
+# ---------------------------------------------------------------------------
+
+def _accumulate_two_pose(H, g, x, idx_a, idx_b, item_fn, data):
+    """Accumulate H/g contributions of a batch of two-pose factors.
+
+    item_fn(pose6, *data_item) -> flat residual vector [m], where pose6 is
+    the concatenation of the two involved 3-dof poses.
+    """
+    if idx_a.shape[0] == 0:
+        return H, g
+    pa = x[idx_a]
+    pb = x[idx_b]
+    p6 = jnp.concatenate([pa, pb], axis=-1)          # [Q, 6]
+
+    def f(p6_item, *d):
+        return jnp.ravel(item_fn(p6_item[:3], p6_item[3:], *d))
+
+    r = jax.vmap(f)(p6, *data)                       # [Q, m]
+    J = jax.vmap(jax.jacfwd(f))(p6, *data)           # [Q, m, 6]
+    gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)    # [Q, 6]
+    Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)  # [Q, 6, 6]
+    dof = jnp.concatenate(
+        [3 * idx_a[:, None] + jnp.arange(3)[None, :],
+         3 * idx_b[:, None] + jnp.arange(3)[None, :]], axis=1)  # [Q, 6]
+    H = H.at[dof[:, :, None], dof[:, None, :]].add(Hq)
+    g = g.at[dof].add(gq)
+    return H, g
+
+
+def assemble_normal_equations(x, graph: FactorGraph, tw, rw):
+    """Build dense Gauss-Newton normal equations.
+
+    Returns (H [3M, 3M], g [3M], cost scalar).  The scatter-add of 6x6
+    factor blocks is the TPU-native replacement for Ceres' block-sparse
+    Jacobian assembly + SPARSE_SCHUR elimination (solver.cc:269): at pose
+    counts up to a few thousand, one dense Cholesky on the MXU beats a
+    sparse factorization's irregular memory access.
+    """
+    m = x.shape[0]
+    n_dof = 3 * m
+    H = jnp.zeros((n_dof, n_dof), x.dtype)
+    g = jnp.zeros((n_dof,), x.dtype)
+
+    od = graph.odom
+    H, g = _accumulate_two_pose(
+        H, g, x, od.i, od.j,
+        lambda pi, pj, t, r0, mk: odom_residual(pi, pj, t, r0, mk, tw, rw),
+        (od.trans, od.rot, od.mask))
+
+    pl = graph.planar
+    H, g = _accumulate_two_pose(
+        H, g, x, pl.src, pl.tgt, normal_residual,
+        (pl.src_pts, pl.tgt_pts, pl.src_nrm, pl.tgt_nrm, pl.mask))
+
+    ed = graph.edge
+    H, g = _accumulate_two_pose(
+        H, g, x, ed.src, ed.tgt, point_residual,
+        (ed.src_pts, ed.tgt_pts, ed.mask))
+
+    ht = graph.hitl
+    H, g = _accumulate_two_pose(
+        H, g, x, ht.node, ht.line, hitl_residual,
+        (ht.points, ht.mask, ht.seg_start, ht.seg_end))
+
+    cost = total_cost(x, graph, tw, rw)
+    return H, g, cost

@@ -1,0 +1,146 @@
+"""Levenberg-Marquardt trust-region solver on dense normal equations.
+
+The TPU-native replacement for ceres::Solve with SPARSE_SCHUR
+(reference src/optimization/solver.cc:266-275, 354).  The update strategy
+mirrors Ceres' LevenbergMarquardtStrategy and default Solver::Options so a
+CPU Ceres-parity implementation converges to the same cost:
+
+- solve (H + diag(clip(diag(H))) / radius) dx = -g   (LM-scaled damping)
+- step quality rho = actual_decrease / model_decrease
+- accept when rho > min_relative_decrease (1e-3); radius grows by
+  1 / max(1/3, 1 - (2 rho - 1)^3), shrink-divisor resets to 2
+- reject: radius /= divisor, divisor *= 2
+- terminate on max iterations (50), function tolerance
+  |dcost| <= 1e-6 * cost on accepted steps, or radius underflow.
+
+Gauge freedom is removed by a per-dof ``fixed`` mask (pose 0 by default,
+as in reference AddOdomFactors solver.cc:384-386): fixed rows/cols of H are
+zeroed with a unit diagonal and the corresponding g entries cleared —
+algebraically identical to Ceres' SetParameterBlockConstant.
+
+The whole loop is one jitted lax.while_loop; a failed Cholesky surfaces as
+non-finite dx and is handled as a rejected step (radius shrinks until the
+damped system is positive definite).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from nautilus_tpu.solve.factors import FactorGraph, assemble_normal_equations, total_cost
+
+
+class LMParams(NamedTuple):
+    """Defaults mirror ceres::Solver::Options (Ceres 1.14)."""
+
+    max_iterations: int = 50
+    function_tolerance: float = 1e-6
+    min_relative_decrease: float = 1e-3
+    initial_radius: float = 1e4
+    max_radius: float = 1e16
+    min_radius: float = 1e-32
+    min_diagonal: float = 1e-6
+    max_diagonal: float = 1e32
+
+
+class LMResult(NamedTuple):
+    x: jnp.ndarray            # [M, 3] solved poses
+    cost: jnp.ndarray         # final cost
+    initial_cost: jnp.ndarray
+    iterations: jnp.ndarray   # accepted + rejected LM steps taken
+    converged: jnp.ndarray    # bool: hit function tolerance
+
+
+def _apply_gauge(H, g, fixed_dof):
+    """Zero fixed rows/cols with unit diagonal; clear fixed gradient."""
+    free = ~fixed_dof
+    outer = free[:, None] & free[None, :]
+    H = jnp.where(outer, H, 0.0)
+    H = H + jnp.diag(fixed_dof.astype(H.dtype))
+    g = jnp.where(fixed_dof, 0.0, g)
+    return H, g
+
+
+def _solve_damped(H, g, fixed_dof, radius, params: LMParams):
+    """Solve (H + D/radius) dx = -g with Cholesky; NaNs signal failure."""
+    Hg, gg = _apply_gauge(H, g, fixed_dof)
+    d = jnp.clip(jnp.diag(Hg), params.min_diagonal, params.max_diagonal)
+    # Keep the unit diagonal of fixed dofs undamped so dx stays 0 there.
+    d = jnp.where(fixed_dof, 0.0, d)
+    A = Hg + jnp.diag(d / radius)
+    c, low = jsl.cho_factor(A)
+    dx = jsl.cho_solve((c, low), -gg)
+    return dx, Hg, gg
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def lm_solve(x0, graph: FactorGraph, tw, rw, fixed_dof,
+             params: LMParams = LMParams()) -> LMResult:
+    """Run LM to convergence from x0 [M, 3].
+
+    fixed_dof: [3M] bool — gauge-fixed degrees of freedom.
+    tw/rw: odometry translation/rotation weights (traced scalars).
+    """
+    m = x0.shape[0]
+    dtype = x0.dtype
+    tw = jnp.asarray(tw, dtype)
+    rw = jnp.asarray(rw, dtype)
+
+    H0, g0, cost0 = assemble_normal_equations(x0, graph, tw, rw)
+
+    def cond(state):
+        (x, H, g, cost, radius, divisor, it, done) = state
+        return (~done) & (it < params.max_iterations) & (radius > params.min_radius)
+
+    def body(state):
+        (x, H, g, cost, radius, divisor, it, done) = state
+        dx, Hg, gg = _solve_damped(H, g, fixed_dof, radius, params)
+        x_new = x + dx.reshape(m, 3)
+        new_cost = total_cost(x_new, graph, tw, rw)
+        # Model decrease of 0.5|r + J dx|^2: -(g.dx + 0.5 dx.H.dx).
+        model_decrease = -(jnp.dot(gg, dx, precision=jax.lax.Precision.HIGHEST)
+                           + 0.5 * jnp.dot(dx, jnp.matmul(
+                               Hg, dx, precision=jax.lax.Precision.HIGHEST)))
+        actual_decrease = cost - new_cost
+        finite = jnp.all(jnp.isfinite(dx)) & jnp.isfinite(new_cost)
+        rho = actual_decrease / jnp.maximum(model_decrease, 1e-300 if dtype == jnp.float64 else 1e-30)
+        accept = finite & (model_decrease > 0) & (rho > params.min_relative_decrease)
+
+        # Trust-region update (Ceres LevenbergMarquardtStrategy).
+        grow = 1.0 / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        radius_acc = jnp.minimum(radius * grow, params.max_radius)
+        radius_rej = radius / divisor
+        radius_new = jnp.where(accept, radius_acc, radius_rej)
+        divisor_new = jnp.where(accept, 2.0, divisor * 2.0)
+
+        # Re-assemble only on accepted steps.
+        def do_assemble(xn):
+            return assemble_normal_equations(xn, graph, tw, rw)
+
+        H2, g2, cost2 = jax.lax.cond(
+            accept, do_assemble, lambda _: (H, g, cost), x_new)
+        x2 = jnp.where(accept, x_new, x)
+
+        converged = accept & (jnp.abs(actual_decrease)
+                              <= params.function_tolerance * cost)
+        return (x2, H2, g2, cost2, radius_new, divisor_new, it + 1, converged)
+
+    init = (x0, H0, g0, cost0,
+            jnp.asarray(params.initial_radius, dtype),
+            jnp.asarray(2.0, dtype), jnp.asarray(0, jnp.int32),
+            jnp.asarray(False))
+    (x, H, g, cost, radius, divisor, it, done) = jax.lax.while_loop(
+        cond, body, init)
+    return LMResult(x=x, cost=cost, initial_cost=cost0, iterations=it,
+                    converged=done)
+
+
+def fixed_pose_mask(num_dofs_poses: int, fixed_pose: int = 0) -> jnp.ndarray:
+    """[3M] mask fixing one pose's 3 dofs (gauge)."""
+    mask = jnp.zeros((num_dofs_poses,), bool)
+    return mask.at[3 * fixed_pose: 3 * fixed_pose + 3].set(True)

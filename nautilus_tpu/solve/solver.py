@@ -1,0 +1,164 @@
+"""High-level solver: the growing-window sweep over jitted LM solves.
+
+Mirrors the reference Solver's solve lifecycle (src/optimization/solver.cc):
+
+- SolveSLAM (solver.cc:358-368): draw, then OptimizeOverGrowingWindow with
+  OptimizationType::FEATURE.
+- OptimizeOverGrowingWindow (solver.cc:335-356): for window_size in
+  [lidar_constraint_amount_min, lidar_constraint_amount_max], rebuild the
+  problem (odometry factors + per-window lidar correspondences + HITL
+  residuals) and solve.  Correspondences are recomputed once per window
+  size, not per LM iteration — the reference's iterative-closest-line
+  behavior (SURVEY.md §3.2 note) — which here means one `associate` call
+  and one `lm_solve` call per window, all device-resident.
+- The FEATURE branch of AddLidarResiduals (solver.cc:297-318): planar
+  matches feed normal residuals, edge matches feed point residuals, both
+  found by plain nearest-neighbor matching.
+
+Deviation (documented): the reference redraws visualization every LM
+iteration via a ceres::IterationCallback (solver_vis.h:18-22); that would
+serialize the device loop, so visualization callbacks fire per window
+sweep instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from nautilus_tpu.core.problem import SLAMProblem, SLAMState
+from nautilus_tpu.solve import correspond
+from nautilus_tpu.solve.factors import (Correspondences, FactorGraph,
+                                        HitlFactors, OdomFactors, empty_hitl)
+from nautilus_tpu.solve.lm import LMParams, LMResult, lm_solve
+
+
+@dataclasses.dataclass
+class WindowStats:
+    window: int
+    initial_cost: float
+    final_cost: float
+    iterations: int
+    wall_s: float
+
+
+@dataclasses.dataclass
+class SolveStats:
+    windows: List[WindowStats] = dataclasses.field(default_factory=list)
+
+    @property
+    def final_cost(self) -> float:
+        return self.windows[-1].final_cost if self.windows else float("nan")
+
+    @property
+    def total_wall_s(self) -> float:
+        return sum(w.wall_s for w in self.windows)
+
+
+def odom_factors_from_state(state: SLAMState, dtype) -> OdomFactors:
+    i, j, trans, rot = state.odometry_factors
+    return OdomFactors(
+        i=jnp.asarray(i, jnp.int32), j=jnp.asarray(j, jnp.int32),
+        trans=jnp.asarray(trans, dtype), rot=jnp.asarray(rot, dtype),
+        mask=jnp.ones((len(i),), bool))
+
+
+class Solver:
+    """Owns the optimization lifecycle for one SLAMState.
+
+    The reference equivalent also owns ROS clients and visualization
+    (solver.h:71-130); here IO/visualization are optional callbacks and the
+    compute path is pure JAX.
+    """
+
+    def __init__(self, state: SLAMState, config, visualizer=None,
+                 lm_params: Optional[LMParams] = None):
+        self.state = state
+        self.config = config
+        self.visualizer = visualizer
+        self.lm_params = lm_params or LMParams()
+        n = state.num_nodes
+        self.pairs = correspond.make_pairs(
+            n, config.get_int("lidar_constraint_amount_max"))
+        self._pair_src = jnp.asarray(self.pairs.src)
+        self._pair_tgt = jnp.asarray(self.pairs.tgt)
+
+    # -- graph construction -------------------------------------------------
+
+    def _dtype(self):
+        return self.state.problem.points.dtype
+
+    def _current_x(self) -> jnp.ndarray:
+        """[N + L, 3] dof vector: node poses + HITL line poses."""
+        x = np.concatenate([self.state.solution, self.state.line_poses], axis=0)
+        return jnp.asarray(x, self._dtype())
+
+    def _fixed_mask(self) -> jnp.ndarray:
+        m = self.state.num_nodes + len(self.state.line_poses)
+        mask = np.zeros((3 * m,), bool)
+        mask[0:3] = True  # gauge: pose 0 constant (solver.cc:384-386)
+        return jnp.asarray(mask)
+
+    def _hitl_factors(self) -> HitlFactors:
+        if not self.state.hitl_constraints:
+            return empty_hitl(self._dtype())
+        from nautilus_tpu.solve.hitl import build_hitl_factors
+        return build_hitl_factors(self.state, dtype=self._dtype())
+
+    def build_graph(self, x, window) -> FactorGraph:
+        cfg = self.config
+        problem = self.state.problem
+        outlier = cfg.outlier_threshold
+        planar = correspond.associate(
+            problem, x[:problem.num_nodes], self._pair_src, self._pair_tgt,
+            window, outlier, feature="planar")
+        edge = correspond.associate(
+            problem, x[:problem.num_nodes], self._pair_src, self._pair_tgt,
+            window, outlier, feature="edge")
+        return FactorGraph(
+            odom=odom_factors_from_state(self.state, self._dtype()),
+            planar=planar, edge=edge, hitl=self._hitl_factors())
+
+    # -- solving ------------------------------------------------------------
+
+    def solve_slam(self) -> SolveStats:
+        """Full growing-window solve; updates state.solution in place."""
+        cfg = self.config
+        stats = SolveStats()
+        x = self._current_x()
+        fixed = self._fixed_mask()
+        tw = cfg.translation_weight
+        rw = cfg.rotation_weight
+        if self.visualizer is not None:
+            self.visualizer.draw_solution(self.state)
+        w_min = cfg.get_int("lidar_constraint_amount_min")
+        w_max = cfg.get_int("lidar_constraint_amount_max")
+        for window in range(w_min, w_max + 1):
+            t0 = time.perf_counter()
+            graph = self.build_graph(x, window)
+            res: LMResult = lm_solve(x, graph, tw, rw, fixed,
+                                     params=self.lm_params)
+            x = res.x
+            x.block_until_ready()
+            wall = time.perf_counter() - t0
+            stats.windows.append(WindowStats(
+                window=window,
+                initial_cost=float(res.initial_cost),
+                final_cost=float(res.cost),
+                iterations=int(res.iterations),
+                wall_s=wall))
+            self._writeback(x)
+            if self.visualizer is not None:
+                self.visualizer.draw_solution(self.state, window=window)
+        return stats
+
+    def _writeback(self, x):
+        n = self.state.num_nodes
+        host = np.asarray(x, np.float64)
+        self.state.solution = host[:n]
+        if len(host) > n:
+            self.state.line_poses = host[n:]

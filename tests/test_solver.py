@@ -1,0 +1,216 @@
+"""Residual semantics + LM solver tests, including the synthetic-corner
+convergence probe (the reference's only end-to-end test,
+test/feature_extractor_test.cc, reproduced without ROS)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nautilus_tpu.core import geometry as geo
+from nautilus_tpu.core.problem import SLAMState
+from nautilus_tpu.ingest.synthetic import make_problem
+from nautilus_tpu.solve import correspond
+from nautilus_tpu.solve.factors import (Correspondences, FactorGraph,
+                                        OdomFactors, empty_hitl,
+                                        normal_residual, odom_residual,
+                                        point_residual, total_cost,
+                                        assemble_normal_equations)
+from nautilus_tpu.solve.lm import LMParams, fixed_pose_mask, lm_solve
+from nautilus_tpu.solve.solver import Solver
+from nautilus_tpu.core.luaconf import load_config_text
+
+
+DEFAULTS = """
+translation_weight=1
+rotation_weight=1
+lidar_constraint_amount_min=1
+lidar_constraint_amount_max=3
+outlier_threshold=0.25
+"""
+
+
+class TestResiduals:
+    def test_odom_residual_zero_at_consistent_poses(self):
+        pi = jnp.array([1.0, 2.0, 0.5])
+        trans = jnp.array([0.3, -0.2])
+        rot = jnp.array(0.1)
+        pj = jnp.array([1.3, 1.8, 0.6])
+        r = odom_residual(pi, pj, trans, rot, jnp.array(True), 2.0, 3.0)
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-6)
+
+    def test_odom_residual_weighting(self):
+        pi = jnp.array([0.0, 0.0, 0.0])
+        pj = jnp.array([1.0, 0.0, 0.0])
+        r = odom_residual(pi, pj, jnp.array([0.0, 0.0]), jnp.array(0.5),
+                          jnp.array(True), 2.0, 3.0)
+        # translation error (-1, 0) * tw, rotation error 0.5 * rw
+        np.testing.assert_allclose(np.asarray(r), [-2.0, 0.0, 1.5], atol=1e-6)
+
+    def test_odom_residual_angle_wrap(self):
+        pi = jnp.array([0.0, 0.0, 3.0])
+        pj = jnp.array([0.0, 0.0, -3.0])
+        r = odom_residual(pi, pj, jnp.zeros(2), jnp.array(0.0),
+                          jnp.array(True), 1.0, 1.0)
+        # raw diff 6.0 wraps to 6 - 2pi
+        assert float(r[2]) == pytest.approx(6.0 - 2 * np.pi, abs=1e-6)
+
+    def test_point_residual_identity(self):
+        # Same pose, same points -> zero residual.
+        pose = jnp.array([0.4, -0.1, 0.2])
+        pts = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+        r = point_residual(pose, pose, pts, pts, jnp.array([True, True]))
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-6)
+
+    def test_point_residual_translation(self):
+        ps = jnp.array([0.0, 0.0, 0.0])
+        pt = jnp.array([0.0, 0.0, 0.0])
+        src = jnp.array([[1.0, 1.0]])
+        tgt = jnp.array([[1.5, 1.0]])
+        r = point_residual(ps, pt, src, tgt, jnp.array([True]))
+        np.testing.assert_allclose(np.asarray(r), [[0.5, 0.0]], atol=1e-6)
+
+    def test_normal_residual_signs(self):
+        # Source point 0.2 beyond target along the target normal (1, 0);
+        # source normal in its own frame also (1, 0).
+        ps = jnp.array([0.0, 0.0, 0.0])
+        pt = jnp.array([0.0, 0.0, 0.0])
+        src = jnp.array([[1.2, 0.0]])
+        tgt = jnp.array([[1.0, 0.0]])
+        n = jnp.array([[1.0, 0.0]])
+        r = normal_residual(ps, pt, src, tgt, n, n, jnp.array([True]))
+        # r_tgt = n_t . (p - q) = 0.2 ; r_src = n_s . (q - p) = -0.2
+        np.testing.assert_allclose(np.asarray(r), [[0.2, -0.2]], atol=1e-6)
+
+    def test_masked_slots_contribute_nothing(self):
+        ps = jnp.array([0.0, 0.0, 0.0])
+        pt = jnp.array([1.0, 2.0, 0.3])
+        src = jnp.array([[1.0, 1.0], [5.0, 5.0]])
+        tgt = jnp.array([[0.0, 0.0], [9.0, 9.0]])
+        mask = jnp.array([False, False])
+        r = point_residual(ps, pt, src, tgt, mask)
+        np.testing.assert_allclose(np.asarray(r), 0.0)
+        # Jacobian also zero.
+        J = jax.jacfwd(lambda p: point_residual(p, pt, src, tgt, mask))(ps)
+        np.testing.assert_allclose(np.asarray(J), 0.0)
+
+
+def _two_node_state(offset=(0.15, 0.1, 0.05)):
+    """Two identical corner scans; node 1's initial pose is offset from truth
+    (truth: both scans taken from the same spot => relative pose identity)."""
+    state, _ = make_problem(num_nodes=2, world_kind="corner", num_beams=360,
+                            odom_noise_trans=0.0, odom_noise_rot=0.0)
+    # Both nodes see the same corner from slightly different true poses;
+    # perturb node 1 away from its odometry-consistent initial pose.
+    state.solution[1] += np.asarray(offset)
+    return state
+
+
+class TestLMSolve:
+    def test_odometry_only_chain(self):
+        # 5 poses in a chain with exact odometry; perturb interior poses.
+        n = 5
+        rng = np.random.default_rng(1)
+        gt = np.stack([np.arange(n, dtype=np.float64),
+                       np.zeros(n), np.zeros(n)], axis=-1)
+        x0 = gt.copy()
+        x0[1:] += rng.normal(scale=0.2, size=(n - 1, 3))
+        odom = OdomFactors(
+            i=jnp.arange(n - 1, dtype=jnp.int32),
+            j=jnp.arange(1, n, dtype=jnp.int32),
+            trans=jnp.asarray(gt[1:, :2] - gt[:-1, :2], jnp.float32),
+            rot=jnp.asarray(gt[1:, 2] - gt[:-1, 2], jnp.float32),
+            mask=jnp.ones(n - 1, bool))
+        empty_corr = Correspondences(
+            src=jnp.zeros((0,), jnp.int32), tgt=jnp.zeros((0,), jnp.int32),
+            src_pts=jnp.zeros((0, 1, 2)), tgt_pts=jnp.zeros((0, 1, 2)),
+            src_nrm=jnp.zeros((0, 1, 2)), tgt_nrm=jnp.zeros((0, 1, 2)),
+            mask=jnp.zeros((0, 1), bool))
+        graph = FactorGraph(odom=odom, planar=empty_corr, edge=empty_corr,
+                            hitl=empty_hitl())
+        res = lm_solve(jnp.asarray(x0, jnp.float32), graph, 1.0, 1.0,
+                       fixed_pose_mask(3 * n))
+        assert float(res.cost) < 1e-8
+        np.testing.assert_allclose(np.asarray(res.x), gt, atol=1e-3)
+
+    def test_gauge_pose_fixed(self):
+        n = 3
+        x0 = np.array([[5.0, 6.0, 0.7], [6.0, 6.0, 0.7], [7.0, 6.0, 0.7]])
+        odom = OdomFactors(
+            i=jnp.array([0, 1], jnp.int32), j=jnp.array([1, 2], jnp.int32),
+            trans=jnp.array([[0.9, 0.1], [1.1, -0.1]], jnp.float32),
+            rot=jnp.zeros(2, jnp.float32), mask=jnp.ones(2, bool))
+        empty_corr = Correspondences(
+            src=jnp.zeros((0,), jnp.int32), tgt=jnp.zeros((0,), jnp.int32),
+            src_pts=jnp.zeros((0, 1, 2)), tgt_pts=jnp.zeros((0, 1, 2)),
+            src_nrm=jnp.zeros((0, 1, 2)), tgt_nrm=jnp.zeros((0, 1, 2)),
+            mask=jnp.zeros((0, 1), bool))
+        graph = FactorGraph(odom=odom, planar=empty_corr, edge=empty_corr,
+                            hitl=empty_hitl())
+        res = lm_solve(jnp.asarray(x0, jnp.float32), graph, 1.0, 1.0,
+                       fixed_pose_mask(3 * n))
+        np.testing.assert_allclose(np.asarray(res.x)[0], x0[0], atol=1e-7)
+
+    def test_corner_convergence(self):
+        """Scan alignment pulls a perturbed node back (reference
+        test/feature_extractor_test.cc semantics)."""
+        state = _two_node_state()
+        cfg = load_config_text(DEFAULTS).replace(
+            lidar_constraint_amount_max=1.0)
+        solver = Solver(state, cfg)
+        stats = solver.solve_slam()
+        assert stats.windows[-1].final_cost < stats.windows[0].initial_cost
+        # Node 1 should return to its odometry-consistent pose (~offset gone):
+        # relative pose between nodes should match the odometry factor again.
+        rel = state.solution[1] - state.solution[0]
+        i, j, trans, rot = state.odometry_factors
+        np.testing.assert_allclose(rel[:2], trans[0], atol=0.05)
+        assert abs(rel[2] - rot[0]) < 0.05
+
+
+class TestEndToEnd:
+    def test_room_solve_reduces_error(self):
+        state, gt = make_problem(num_nodes=12, world_kind="room",
+                                 num_beams=360, seed=3,
+                                 odom_noise_trans=0.02, odom_noise_rot=0.01)
+        init = state.solution.copy()
+        cfg = load_config_text(DEFAULTS)
+        solver = Solver(state, cfg)
+        stats = solver.solve_slam()
+        # Cost decreased within the last window.
+        last = stats.windows[-1]
+        assert last.final_cost <= last.initial_cost
+        # Pose error vs ground truth reduced relative to odometry-only init.
+
+        def err(p):
+            return np.linalg.norm((p - gt)[:, :2], axis=-1).mean()
+
+        assert err(state.solution) <= err(init) * 1.1
+
+    def test_association_matches_bruteforce(self):
+        state, _ = make_problem(num_nodes=6, world_kind="room", num_beams=360,
+                                seed=5)
+        problem = state.problem
+        pairs = correspond.make_pairs(6, 3)
+        x = jnp.asarray(state.solution, jnp.float32)
+        corr = correspond.associate(problem, x, jnp.asarray(pairs.src),
+                                    jnp.asarray(pairs.tgt), 3, 0.25,
+                                    feature="planar")
+        # Brute-force check on pair 0.
+        q = 0
+        s, t = int(pairs.src[q]), int(pairs.tgt[q])
+        sp = np.asarray(problem.planar_points)[s]
+        sm = np.asarray(problem.planar_mask)[s]
+        tp = np.asarray(problem.planar_points)[t]
+        tm = np.asarray(problem.planar_mask)[t]
+        proj = np.asarray(geo.relative_pose_transform_points(
+            x[s], x[t], jnp.asarray(sp)))
+        for a in range(len(sp)):
+            d = np.linalg.norm(proj[a] - tp, axis=-1)
+            d[~tm] = np.inf
+            nn = np.argmin(d)
+            expect_valid = sm[a] and d[nn] < 0.25
+            assert bool(np.asarray(corr.mask)[q, a]) == bool(expect_valid)
+            if expect_valid:
+                np.testing.assert_allclose(np.asarray(corr.tgt_pts)[q, a],
+                                           tp[nn], atol=1e-6)

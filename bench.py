@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark: full growing-window SLAM solve, TPU engine vs CPU reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The workload is the GDC-2020-scale synthetic building problem (1000 poses,
+720-beam scans, window 1..10 — BASELINE.md ladder top).  The baseline is this
+repo's Ceres-parity CPU reference engine (nautilus_tpu/baseline) in float64
+with scipy KD-trees and sparse normal equations, since the reference repo
+publishes no numbers (BASELINE.md).  value = vs_baseline = CPU wall / TPU
+wall for the identical solve; cost parity between the two engines is checked
+and reported (north-star: <=1% delta, >=20x speedup).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=1000)
+    ap.add_argument("--beams", type=int, default=720)
+    ap.add_argument("--quick", action="store_true",
+                    help="150-node variant for smoke testing")
+    ap.add_argument("--skip-cpu", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.nodes = 150
+
+    from nautilus_tpu.core.luaconf import load_config
+    from nautilus_tpu.ingest.synthetic import make_problem
+    from nautilus_tpu.solve.solver import Solver
+    from nautilus_tpu.baseline import cpu_reference as cpu
+
+    cfg = load_config("config/default_config.lua")
+    state, gt = make_problem(num_nodes=args.nodes, world_kind="building",
+                             num_beams=args.beams, seed=1,
+                             odom_noise_trans=0.02, odom_noise_rot=0.008)
+    x0 = state.solution.copy()
+    prob_cpu = cpu.CpuProblem.from_device_problem(state.problem)
+
+    # --- TPU engine: warm up (compile), then measure steady-state solve.
+    solver = Solver(state, cfg)
+    solver.solve_slam()                      # warm-up; also caches compiles
+    state.solution = x0.copy()
+    t0 = time.perf_counter()
+    stats = solver.solve_slam()
+    tpu_wall = time.perf_counter() - t0
+    x_tpu = state.solution.copy()
+
+    # --- CPU reference engine.
+    if args.skip_cpu:
+        cpu_wall = float("nan")
+        x_cpu = x0
+    else:
+        t0 = time.perf_counter()
+        x_cpu, cpu_stats = cpu.solve_slam(prob_cpu, x0, cfg)
+        cpu_wall = time.perf_counter() - t0
+
+    # --- Cost parity: evaluate both solutions under the CPU f64 cost at the
+    # final window's correspondences.
+    w = cfg.get_int("lidar_constraint_amount_max")
+    tw, rw = cfg.translation_weight, cfg.rotation_weight
+
+    def f64_cost(x):
+        planar, edge = cpu.associate(prob_cpu, x, w, cfg.outlier_threshold)
+        return cpu.total_cost(prob_cpu, x, planar, edge, tw, rw)
+
+    cost_tpu = f64_cost(x_tpu)
+    cost_cpu = f64_cost(x_cpu) if not args.skip_cpu else float("nan")
+    parity_pct = (abs(cost_tpu - cost_cpu) / cost_cpu * 100.0
+                  if not args.skip_cpu else float("nan"))
+
+    speedup = cpu_wall / tpu_wall if not args.skip_cpu else float("nan")
+    print(json.dumps({
+        "metric": "gdc_scale_synth_solve_speedup_vs_cpu_ref",
+        "value": round(speedup, 2),
+        "unit": "x",
+        "vs_baseline": round(speedup, 2),
+        "nodes": args.nodes,
+        "tpu_wall_s": round(tpu_wall, 2),
+        "cpu_wall_s": round(cpu_wall, 2),
+        "final_cost_tpu": round(cost_tpu, 4),
+        "final_cost_cpu": round(cost_cpu, 4) if cost_cpu == cost_cpu else None,
+        "cost_parity_pct": round(parity_pct, 3) if parity_pct == parity_pct else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

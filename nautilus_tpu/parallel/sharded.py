@@ -1,0 +1,127 @@
+"""Multi-chip scaling: factor-parallel normal-equation assembly over a Mesh.
+
+The reference is a single-process CPU program (SURVEY.md §2c); its only
+intra-solve parallelism is OpenMP loops inside residual evaluation.  The
+TPU-native scaling story shards the *factor dimension* — the pose-pair
+correspondence lists, odometry factors, and HITL participations — across a
+``jax.sharding.Mesh`` axis:
+
+- each device evaluates residuals + per-factor 6x6 blocks for its shard of
+  factors (pure local compute, no communication),
+- partial dense H/g/cost are reduced with ``psum`` over the mesh axis
+  (one all-reduce riding ICI per LM iteration),
+- the damped Cholesky solve and pose update run replicated (H is small —
+  3M x 3M for M poses — so replicating the solve is cheaper than a
+  distributed factorization at any realistic pose-graph size).
+
+This is data-parallelism over factors, expressed with shard_map so the
+collective pattern is explicit and stable under scaling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from nautilus_tpu.solve.factors import (FactorGraph,
+                                        assemble_normal_equations, total_cost)
+from nautilus_tpu.solve.lm import LMParams, LMResult, lm_loop
+
+
+def _pad_leading(arr, target: int):
+    pad = target - arr.shape[0]
+    if pad == 0:
+        return arr
+    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, widths)  # zeros: padded factors are fully masked
+
+
+def pad_graph(graph: FactorGraph, num_shards: int) -> FactorGraph:
+    """Pad every factor list to a multiple of num_shards.
+
+    Padded entries have mask=False (jnp.pad zero-fills bool masks) and index
+    0, so they contribute exactly nothing to H/g/cost.
+    """
+
+    def pad_component(comp):
+        n = comp[0].shape[0]
+        target = ((n + num_shards - 1) // num_shards) * num_shards
+        if n == 0:
+            # Give empty factor sets one masked row per shard so shard_map
+            # has a nonzero local size.
+            target = num_shards
+        return type(comp)(*[_pad_leading(jnp.asarray(a), target)
+                            for a in comp])
+
+    return FactorGraph(*[pad_component(c) for c in graph])
+
+
+def graph_pspec(graph: FactorGraph) -> FactorGraph:
+    """PartitionSpec pytree: every factor array sharded on its leading dim."""
+    return jax.tree.map(lambda _: P("factors"), graph)
+
+
+def make_sharded_fns(mesh: Mesh, graph: FactorGraph, tw, rw):
+    """Returns (assemble_fn, cost_fn) with factor-sharded evaluation.
+
+    The returned closures take the replicated dof array x and produce
+    replicated (H, g, cost) via psum over the 'factors' axis.
+    """
+    gspec = graph_pspec(graph)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(), gspec), out_specs=(P(), P(), P()),
+        check_vma=False)
+    def _assemble(x, local_graph):
+        H, g, cost = assemble_normal_equations(x, local_graph, tw, rw)
+        H = jax.lax.psum(H, "factors")
+        g = jax.lax.psum(g, "factors")
+        cost = jax.lax.psum(cost, "factors")
+        return H, g, cost
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(), gspec), out_specs=P(),
+        check_vma=False)
+    def _cost(x, local_graph):
+        return jax.lax.psum(total_cost(x, local_graph, tw, rw), "factors")
+
+    return (lambda x: _assemble(x, graph)), (lambda x: _cost(x, graph))
+
+
+def sharded_lm_solve(x0, graph: FactorGraph, tw, rw, fixed_dof, mesh: Mesh,
+                     params: LMParams = LMParams()) -> LMResult:
+    """LM solve with factor-parallel assembly across the mesh.
+
+    Drop-in equivalent of solve.lm.lm_solve for multi-chip execution; the
+    full loop is jitted once, with one (H, g, cost) psum per accepted step.
+    """
+    num = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    graph = pad_graph(graph, num)
+    dtype = x0.dtype
+    tw = jnp.asarray(tw, dtype)
+    rw = jnp.asarray(rw, dtype)
+    # Place factor shards / replicate x explicitly so jit does not need to
+    # guess layouts.
+    graph = jax.device_put(
+        graph, jax.tree.map(lambda s: NamedSharding(mesh, s),
+                            graph_pspec(graph)))
+    x0 = jax.device_put(x0, NamedSharding(mesh, P()))
+    fixed_dof = jax.device_put(fixed_dof, NamedSharding(mesh, P()))
+    assemble_fn, cost_fn = make_sharded_fns(mesh, graph, tw, rw)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(x0, fixed_dof):
+        return lm_loop(x0, assemble_fn, cost_fn, fixed_dof, params)
+
+    return run(x0, fixed_dof)
+
+
+def default_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()[: (n_devices or len(jax.devices()))]
+    return Mesh(np.asarray(devs), axis_names=("factors",))

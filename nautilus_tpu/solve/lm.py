@@ -78,20 +78,17 @@ def _solve_damped(H, g, fixed_dof, radius, params: LMParams):
     return dx, Hg, gg
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def lm_solve(x0, graph: FactorGraph, tw, rw, fixed_dof,
-             params: LMParams = LMParams()) -> LMResult:
-    """Run LM to convergence from x0 [M, 3].
+def lm_loop(x0, assemble_fn, cost_fn, fixed_dof,
+            params: LMParams = LMParams()) -> LMResult:
+    """LM loop over pluggable assembly/cost functions (for sharded variants).
 
-    fixed_dof: [3M] bool — gauge-fixed degrees of freedom.
-    tw/rw: odometry translation/rotation weights (traced scalars).
+    assemble_fn(x) -> (H, g, cost); cost_fn(x) -> cost.  Both must be pure
+    and jit-traceable; the caller jits the whole loop.
     """
     m = x0.shape[0]
     dtype = x0.dtype
-    tw = jnp.asarray(tw, dtype)
-    rw = jnp.asarray(rw, dtype)
 
-    H0, g0, cost0 = assemble_normal_equations(x0, graph, tw, rw)
+    H0, g0, cost0 = assemble_fn(x0)
 
     def cond(state):
         (x, H, g, cost, radius, divisor, it, done) = state
@@ -101,7 +98,7 @@ def lm_solve(x0, graph: FactorGraph, tw, rw, fixed_dof,
         (x, H, g, cost, radius, divisor, it, done) = state
         dx, Hg, gg = _solve_damped(H, g, fixed_dof, radius, params)
         x_new = x + dx.reshape(m, 3)
-        new_cost = total_cost(x_new, graph, tw, rw)
+        new_cost = cost_fn(x_new)
         # Model decrease of 0.5|r + J dx|^2: -(g.dx + 0.5 dx.H.dx).
         model_decrease = -(jnp.dot(gg, dx, precision=jax.lax.Precision.HIGHEST)
                            + 0.5 * jnp.dot(dx, jnp.matmul(
@@ -119,11 +116,8 @@ def lm_solve(x0, graph: FactorGraph, tw, rw, fixed_dof,
         divisor_new = jnp.where(accept, 2.0, divisor * 2.0)
 
         # Re-assemble only on accepted steps.
-        def do_assemble(xn):
-            return assemble_normal_equations(xn, graph, tw, rw)
-
         H2, g2, cost2 = jax.lax.cond(
-            accept, do_assemble, lambda _: (H, g, cost), x_new)
+            accept, assemble_fn, lambda _: (H, g, cost), x_new)
         x2 = jnp.where(accept, x_new, x)
 
         converged = accept & (jnp.abs(actual_decrease)
@@ -138,6 +132,24 @@ def lm_solve(x0, graph: FactorGraph, tw, rw, fixed_dof,
         cond, body, init)
     return LMResult(x=x, cost=cost, initial_cost=cost0, iterations=it,
                     converged=done)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def lm_solve(x0, graph: FactorGraph, tw, rw, fixed_dof,
+             params: LMParams = LMParams()) -> LMResult:
+    """Run LM to convergence from x0 [M, 3] (single-device assembly).
+
+    fixed_dof: [3M] bool — gauge-fixed degrees of freedom.
+    tw/rw: odometry translation/rotation weights (traced scalars).
+    """
+    dtype = x0.dtype
+    tw = jnp.asarray(tw, dtype)
+    rw = jnp.asarray(rw, dtype)
+    return lm_loop(
+        x0,
+        assemble_fn=lambda x: assemble_normal_equations(x, graph, tw, rw),
+        cost_fn=lambda x: total_cost(x, graph, tw, rw),
+        fixed_dof=fixed_dof, params=params)
 
 
 def fixed_pose_mask(num_dofs_poses: int, fixed_pose: int = 0) -> jnp.ndarray:

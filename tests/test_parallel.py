@@ -1,0 +1,79 @@
+"""Sharded (multi-chip) solve == single-device solve, on the virtual
+8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nautilus_tpu.core.luaconf import load_config_text
+from nautilus_tpu.ingest.synthetic import make_problem
+from nautilus_tpu.parallel.sharded import (default_mesh, pad_graph,
+                                           sharded_lm_solve)
+from nautilus_tpu.solve import correspond
+from nautilus_tpu.solve.factors import assemble_normal_equations, total_cost
+from nautilus_tpu.solve.lm import fixed_pose_mask, lm_solve
+from nautilus_tpu.solve.solver import Solver
+
+CFG = """
+translation_weight=1
+rotation_weight=1
+lidar_constraint_amount_min=1
+lidar_constraint_amount_max=3
+outlier_threshold=0.25
+"""
+
+
+@pytest.fixture(scope="module")
+def setup():
+    state, _ = make_problem(num_nodes=10, world_kind="room", num_beams=360,
+                            seed=4, odom_noise_trans=0.02,
+                            odom_noise_rot=0.01)
+    cfg = load_config_text(CFG)
+    solver = Solver(state, cfg)
+    x = solver._current_x()
+    graph = solver.build_graph(x, 3)
+    return state, graph, x
+
+
+def test_eight_cpu_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_pad_graph_preserves_cost(setup):
+    state, graph, x = setup
+    c0 = float(total_cost(x, graph, 1.0, 1.0))
+    padded = pad_graph(graph, 8)
+    c1 = float(total_cost(x, padded, 1.0, 1.0))
+    assert c0 == pytest.approx(c1, rel=1e-6)
+    for arr in jax.tree.leaves(padded):
+        assert arr.shape[0] % 8 == 0 or arr.ndim == 0
+
+
+def test_sharded_assembly_matches_single_device(setup):
+    state, graph, x = setup
+    mesh = default_mesh(8)
+    from nautilus_tpu.parallel.sharded import make_sharded_fns, graph_pspec
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    padded = pad_graph(graph, 8)
+    padded = jax.device_put(padded, jax.tree.map(
+        lambda s: NamedSharding(mesh, s), graph_pspec(padded)))
+    assemble_fn, cost_fn = make_sharded_fns(mesh, padded, 1.0, 1.0)
+    H_s, g_s, c_s = assemble_fn(x)
+    H_1, g_1, c_1 = assemble_normal_equations(x, graph, 1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(H_s), np.asarray(H_1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_lm_matches_single_device(setup):
+    state, graph, x = setup
+    mesh = default_mesh(8)
+    fixed = fixed_pose_mask(3 * x.shape[0])
+    res_1 = lm_solve(x, graph, 1.0, 1.0, fixed)
+    res_s = sharded_lm_solve(x, graph, 1.0, 1.0, fixed, mesh)
+    assert float(res_s.cost) == pytest.approx(float(res_1.cost), rel=1e-3)
+    np.testing.assert_allclose(np.asarray(res_s.x), np.asarray(res_1.x),
+                               atol=5e-3)

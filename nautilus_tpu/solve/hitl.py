@@ -1,0 +1,192 @@
+"""Human-in-the-loop colinearity constraints.
+
+Mirrors the reference's HITL pipeline (src/optimization/solver.cc:463-559):
+
+- ``HitlSlamInputMsg``: two user-drawn line segments (msg/HitlSlamInputMsg.msg),
+  here a plain dataclass fed by the CLI/bridge instead of a ROS topic.
+- ``select_poses``: GetRelevantPosesForHITL (solver.cc:479-513) — for every
+  node, transform its full cloud by the current solution and test each point
+  against both segments.  Reference quirks preserved exactly: the else-if
+  point assignment (a point near both lines counts only for line A,
+  solver.cc:495-500) and the else-if pose assignment (a pose qualifying for
+  both joins only line A's set, solver.cc:503-510).  The per-point test is
+  one batched device computation over all nodes x points.
+- ``build_hitl_factors``: AddHITLResiduals (solver.cc:515-532) — each
+  selected pose contributes point-to-segment residuals against the *line A*
+  segment transformed by the constraint's free SE(2) line pose; the
+  reference passes line_a for both pose sets (solver.cc:521,528), which is
+  what makes the constraint a colinearity merge.  Preserved.
+- ``solved_odom_factors``: GetSolvedOdomFactors (solver.cc:406-427) — the
+  densified every-pair-within-window odometry re-extraction used before a
+  HITL solve.  The reference's raw (unwrapped) rotation difference is kept.
+- ``hitl_callback``: HitlCallback (solver.cc:534-559) — swap in solved
+  odometry, add the constraint, solve, restore the initial odometry
+  factors, solve again.  KNOWN FIX (SURVEY.md §2d): the reference restores
+  ``initial_odometry_factors`` which it never populates (solver.h:121), so
+  its second solve runs without odometry; we restore the actual ingest-time
+  factors instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nautilus_tpu.core import geometry as geo
+from nautilus_tpu.core.problem import SLAMState
+from nautilus_tpu.solve.factors import HitlFactors
+
+
+@dataclasses.dataclass
+class HitlSlamInputMsg:
+    """Two line segments drawn by the curator (msg/HitlSlamInputMsg.msg)."""
+
+    line_a_start: np.ndarray
+    line_a_end: np.ndarray
+    line_b_start: np.ndarray
+    line_b_end: np.ndarray
+
+    @classmethod
+    def from_points(cls, a0, a1, b0, b1):
+        return cls(*[np.asarray(p, np.float64) for p in (a0, a1, b0, b1)])
+
+
+@dataclasses.dataclass
+class HitlConstraint:
+    """Host-side constraint record (reference HitlLCConstraint,
+    data_structures.h:41-51)."""
+
+    line_a: Tuple[np.ndarray, np.ndarray]
+    line_b: Tuple[np.ndarray, np.ndarray]
+    # [(node_idx, points [k, 2] in the node frame), ...]
+    line_a_poses: List[Tuple[int, np.ndarray]]
+    line_b_poses: List[Tuple[int, np.ndarray]]
+    line_pose_index: int   # row into state.line_poses
+
+
+@jax.jit
+def _hitl_point_test(points, points_mask, x, la0, la1, lb0, lb1, width):
+    """Batched point-on-segment tests. Returns (on_a, on_b) [N, P] bools."""
+    world = geo.pose_transform_points(x[:, None, :], points)
+    d_a = geo.distance_to_line_segment(world, la0, la1)
+    d_b = geo.distance_to_line_segment(world, lb0, lb1)
+    on_a = points_mask & (d_a <= width)
+    # else-if: points on A never count for B (solver.cc:495-500).
+    on_b = points_mask & jnp.logical_not(on_a) & (d_b <= width)
+    return on_a, on_b
+
+
+def select_poses(state: SLAMState, msg: HitlSlamInputMsg, config) -> HitlConstraint:
+    """GetRelevantPosesForHITL — batched over all nodes and points."""
+    problem = state.problem
+    dtype = problem.points.dtype
+    x = jnp.asarray(state.solution, dtype)
+    on_a, on_b = _hitl_point_test(
+        problem.points, problem.points_mask, x,
+        jnp.asarray(msg.line_a_start, dtype), jnp.asarray(msg.line_a_end, dtype),
+        jnp.asarray(msg.line_b_start, dtype), jnp.asarray(msg.line_b_end, dtype),
+        jnp.asarray(config.hitl_line_width, dtype))
+    on_a = np.asarray(on_a)
+    on_b = np.asarray(on_b)
+    count_a = on_a.sum(axis=1)
+    count_b = on_b.sum(axis=1)
+    threshold = config.get_int("hitl_pose_point_threshold")
+    pts = np.asarray(problem.points)
+    a_poses, b_poses = [], []
+    for node in range(problem.num_nodes):
+        if count_a[node] >= threshold:
+            a_poses.append((node, pts[node][on_a[node]].astype(np.float64)))
+        elif count_b[node] >= threshold:
+            # else-if: a pose qualifying for both joins only A
+            # (solver.cc:503-510).
+            b_poses.append((node, pts[node][on_b[node]].astype(np.float64)))
+    constraint = HitlConstraint(
+        line_a=(np.asarray(msg.line_a_start, np.float64),
+                np.asarray(msg.line_a_end, np.float64)),
+        line_b=(np.asarray(msg.line_b_start, np.float64),
+                np.asarray(msg.line_b_end, np.float64)),
+        line_a_poses=a_poses, line_b_poses=b_poses,
+        line_pose_index=len(state.line_poses))
+    return constraint
+
+
+def build_hitl_factors(state: SLAMState, dtype=jnp.float32) -> HitlFactors:
+    """Flatten all constraints into padded HitlFactors arrays."""
+    rows = []
+    for c in state.hitl_constraints:
+        line_dof = state.num_nodes + c.line_pose_index
+        # Reference passes line_a for BOTH sets (solver.cc:521,528).
+        seg = c.line_a
+        for node, pts in c.line_a_poses + c.line_b_poses:
+            rows.append((node, line_dof, pts, seg))
+    if not rows:
+        from nautilus_tpu.solve.factors import empty_hitl
+        return empty_hitl(dtype)
+    kmax = max(len(p) for _, _, p, _ in rows)
+    kmax = max(kmax, 1)
+    r = len(rows)
+    node = np.zeros(r, np.int32)
+    line = np.zeros(r, np.int32)
+    points = np.zeros((r, kmax, 2), np.float64)
+    mask = np.zeros((r, kmax), bool)
+    seg_start = np.zeros((r, 2), np.float64)
+    seg_end = np.zeros((r, 2), np.float64)
+    for q, (n_idx, l_idx, pts, seg) in enumerate(rows):
+        node[q] = n_idx
+        line[q] = l_idx
+        points[q, :len(pts)] = pts
+        mask[q, :len(pts)] = True
+        seg_start[q] = seg[0]
+        seg_end[q] = seg[1]
+    return HitlFactors(
+        node=jnp.asarray(node), line=jnp.asarray(line),
+        points=jnp.asarray(points, dtype), mask=jnp.asarray(mask),
+        seg_start=jnp.asarray(seg_start, dtype),
+        seg_end=jnp.asarray(seg_end, dtype))
+
+
+def solved_odom_factors(state: SLAMState, max_window: int):
+    """GetSolvedOdomFactors (solver.cc:406-427): every pair within
+    max_window gets a factor carrying the *current solution's* relative
+    pose (raw world-frame deltas, unwrapped rotation difference)."""
+    sol = state.solution
+    n = len(sol)
+    ii, jj = [], []
+    for index in range(1, n):
+        for prev in range(max(0, index - max_window), index):
+            ii.append(prev)
+            jj.append(index)
+    ii = np.asarray(ii, np.int64)
+    jj = np.asarray(jj, np.int64)
+    trans = sol[jj, :2] - sol[ii, :2]
+    rot = sol[jj, 2] - sol[ii, 2]
+    return ii, jj, trans, rot
+
+
+def hitl_callback(solver, msg: HitlSlamInputMsg, verbose: bool = True):
+    """Full HitlCallback flow (solver.cc:534-559) on a Solver instance."""
+    state: SLAMState = solver.state
+    cfg = solver.config
+    state.odometry_factors = solved_odom_factors(
+        state, cfg.get_int("lidar_constraint_amount_max"))
+    constraint = select_poses(state, msg, cfg)
+    if verbose:
+        print(f"Found {len(constraint.line_a_poses)} poses for the first line.")
+        print(f"Found {len(constraint.line_b_poses)} poses for the second line.")
+    state.hitl_constraints.append(constraint)
+    state.line_poses = np.concatenate(
+        [state.line_poses, np.zeros((1, 3), np.float64)], axis=0)
+    if verbose:
+        print("Solving problem with HITL constraints...")
+    stats1 = solver.solve_slam()
+    # KNOWN FIX vs reference: restore the REAL ingest-time odometry factors
+    # (the reference restores a never-populated list, SURVEY.md §2d).
+    state.odometry_factors = state.initial_odometry_factors
+    if verbose:
+        print("Solving problem with initial odometry constraints...")
+    stats2 = solver.solve_slam()
+    return stats1, stats2

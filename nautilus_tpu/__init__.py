@@ -20,5 +20,21 @@ factor arrays, jitted once and executed on TPU:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: TPU compiles of the solver/CSM programs
+# take tens of seconds; caching them across processes makes the CLI/bench
+# start in seconds.  Set before jax reads its config (first jax import may
+# already have happened via sitecustomize; jax also re-reads this config key
+# lazily, so set both the env var and, if jax is loaded, the config).
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/jax_nautilus"))
+try:  # pragma: no cover - depends on import order
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["JAX_COMPILATION_CACHE_DIR"])
+except Exception:
+    pass
+
 from nautilus_tpu.core.luaconf import load_config  # noqa: F401
 from nautilus_tpu.core.problem import SLAMProblem, SLAMState  # noqa: F401

@@ -114,6 +114,10 @@ def main(argv=None) -> int:
               f"{time.perf_counter() - t0:.2f}s; final cost "
               f"{stats.final_cost:.4f}.")
 
+    if cfg.get("auto_lc", False):
+        from nautilus_tpu.loop_closure.auto_lc import solve_auto_lc
+        solve_auto_lc(solver, apply=True, verbose=verbose)
+
     if args.hitl_replay:
         for line in Path(args.hitl_replay).read_text().splitlines():
             line = line.strip()

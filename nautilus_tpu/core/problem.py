@@ -97,6 +97,10 @@ class SLAMState:
     # The ingest-time factors, kept for the reference's restore step
     # (solver.cc:554; note §2d: the reference restores an *empty* list).
     initial_odometry_factors: tuple = ()
+    # Accepted auto-loop-closure factors: (i, j, trans, rot, wt, wr) tuples
+    # solved together with odometry (the reference's AddLCConstraints stub
+    # completed, solver.cc:651-660).
+    lc_factors: list = dataclasses.field(default_factory=list)
 
     @classmethod
     def from_problem(cls, problem: SLAMProblem,

@@ -1,0 +1,135 @@
+"""Automatic loop closure orchestration.
+
+Mirrors reference Solver::SolveAutoLC (src/optimization/solver.cc:676-700)
+and COMPLETES it: in the reference snapshot the constraint application is
+stubbed/commented out (AddLCConstraints solver.cc:651-660,
+ResolveWithConstraints call solver.cc:699 — SURVEY.md §2d), leaving auto-LC
+diagnostic-only.  Here the full closed loop is implemented:
+
+1. candidate filter (scatter score + spacing) — candidate.py;
+2. chi-square uncertainty gating over candidate pairs — matcher.py;
+3. correlative scan matching per gated pair (kernels/csm.py — batched over
+   pairs on TPU), accepted above csm_score_threshold;
+4. each accepted match becomes a weighted relative-pose factor
+   (lc_translation_weight / lc_rotation_weight), derived with the
+   reference's frame composition (GetRelativeTransform solver.cc:630-649);
+5. re-solve.
+
+``apply=False`` reproduces the reference's diagnostic-only behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from nautilus_tpu.kernels.csm import CSMParams, csm_match_batch
+from nautilus_tpu.loop_closure.candidate import get_lc_candidates
+from nautilus_tpu.loop_closure.matcher import LCMatcher
+
+
+@dataclasses.dataclass
+class AutoLCReport:
+    candidates: List[int]
+    gated_pairs: List[Tuple[int, int]]
+    csm_results: List[Tuple[int, int, float, np.ndarray]]  # (s, t, score, [tx ty th])
+    accepted: List[Tuple[int, int]]
+    applied: bool = False
+
+
+def _csm_params_from_config(cfg) -> CSMParams:
+    scan_range = float(cfg.max_lidar_range)
+    if scan_range <= 0:
+        scan_range = 30.0
+    return CSMParams(scan_range=scan_range, trans_range=2.0,
+                     low_res=0.3, high_res=0.01,
+                     rotation_restriction=float(np.pi / 2))
+
+
+def relative_pose_factor(state, s: int, t: int, transform: np.ndarray,
+                         wt: float, wr: float):
+    """Turn a CSM transform (cloud s -> cloud t frames) into a factor tuple.
+
+    The CSM output maps source-scan points into the target scan frame:
+    p_t = R(theta) p_s + [tx, ty].  The implied world pose of s is
+    T_t o T_csm (reference GetRelativeTransform composition,
+    solver.cc:640-647).  The factor stores the world-frame delta between
+    that implied pose and pose min(s,t), matching the engine's odometry
+    factor convention.
+    """
+    i, j = (s, t) if s < t else (t, s)
+    pose_t = state.solution[t]
+    c, sn = np.cos(pose_t[2]), np.sin(pose_t[2])
+    Rt = np.array([[c, -sn], [sn, c]])
+    implied_s_loc = pose_t[:2] + Rt @ transform[:2]
+    implied_s_rot = pose_t[2] + transform[2]
+    implied = {s: np.array([implied_s_loc[0], implied_s_loc[1],
+                            implied_s_rot]),
+               t: pose_t}
+    trans = implied[j][:2] - implied[i][:2]
+    rot = implied[j][2] - implied[i][2]
+    return (i, j, trans, float(rot), wt, wr)
+
+
+def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
+                  csm_params: CSMParams = None) -> AutoLCReport:
+    """Full auto-LC pass over the solver's state."""
+    state = solver.state
+    cfg = solver.config
+    report = AutoLCReport(candidates=[], gated_pairs=[], csm_results=[],
+                          accepted=[])
+
+    candidates = get_lc_candidates(state)
+    report.candidates = candidates
+    if verbose:
+        print(f"Auto-LC: {len(candidates)} candidate scans.")
+    if len(candidates) < 2:
+        return report
+
+    # Chi-square gating over candidate pairs (one Hessian for all).
+    x = solver._current_x()
+    graph = solver.build_graph(x, cfg.get_int("lidar_constraint_amount_max"))
+    matcher = LCMatcher(state, graph)
+    seen = set()
+    for s in candidates:
+        for t in matcher.get_possible_matches(s, candidates):
+            key = (min(s, t), max(s, t))
+            if key not in seen:
+                seen.add(key)
+                report.gated_pairs.append(key)
+    if verbose:
+        print(f"Auto-LC: {len(report.gated_pairs)} pairs pass the "
+              f"chi-square gate.")
+    if not report.gated_pairs:
+        return report
+
+    # Batched CSM over gated pairs.
+    params = csm_params or _csm_params_from_config(cfg)
+    pts = state.problem.points
+    msk = state.problem.points_mask
+    ss = np.array([p[0] for p in report.gated_pairs])
+    tt = np.array([p[1] for p in report.gated_pairs])
+    scores, transforms = csm_match_batch(pts[ss], msk[ss], pts[tt], msk[tt],
+                                         params)
+    scores = np.asarray(scores)
+    transforms = np.asarray(transforms, np.float64)
+    threshold = float(cfg.csm_score_threshold)
+    wt = float(cfg.lc_translation_weight)
+    wr = float(cfg.lc_rotation_weight)
+    for k, (s, t) in enumerate(report.gated_pairs):
+        report.csm_results.append((s, t, float(scores[k]), transforms[k]))
+        if scores[k] >= threshold:
+            report.accepted.append((s, t))
+            if apply:
+                state.lc_factors.append(
+                    relative_pose_factor(state, s, t, transforms[k], wt, wr))
+    if verbose:
+        print(f"Auto-LC: {len(report.accepted)} matches above CSM score "
+              f"threshold ({threshold}).")
+    if apply and report.accepted:
+        solver.solve_slam()
+        report.applied = True
+    return report

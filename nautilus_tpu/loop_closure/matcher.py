@@ -1,0 +1,113 @@
+"""Loop-closure pair gating by solution uncertainty (chi-square score).
+
+Mirrors reference LCMatcher (src/loop_closure/lc_matcher.cc):
+
+- GetCovarianceMatrix (lc_matcher.cc:28-46): the covariance between two
+  pose blocks under a temporary re-gauge — pose 0 freed, pose
+  min(source, target) - 1 fixed — extracting the top-left 2x2 of the 3x3
+  cross block.  Ceres' Covariance::Compute becomes a dense solve against
+  the gauged Gauss-Newton Hessian: the (s, t) cross-covariance is rows s of
+  H^-1 columns t, i.e. three linear solves.
+- ChiSquareScore (lc_matcher.cc:50-57): Mahalanobis distance
+  (t - s)^T Sigma^-1 (t - s) of the current translations.
+- GetPossibleMatches (lc_matcher.cc:59-74): accept score < 5000.0 (the
+  reference's hardcoded threshold).
+
+All candidate pairs share one Hessian assembly and one Cholesky
+factorization per gauge pose; solves for all requested basis columns are
+batched.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from nautilus_tpu.solve.factors import FactorGraph, assemble_normal_equations
+
+CHI_SQUARE_THRESHOLD = 5000.0  # reference lc_matcher.cc:69
+
+
+def _gauged_cholesky(H, fixed_pose: int):
+    n_dof = H.shape[0]
+    fixed = (jnp.arange(n_dof) // 3) == fixed_pose
+    free = ~fixed
+    Hg = jnp.where(free[:, None] & free[None, :], H, 0.0)
+    Hg = Hg + jnp.diag(fixed.astype(H.dtype))
+    # Tiny Tikhonov term guards rank deficiency of unsolved/disconnected
+    # graphs; negligible against typical H scales.
+    Hg = Hg + 1e-8 * jnp.eye(n_dof, dtype=H.dtype)
+    return jsl.cho_factor(Hg)
+
+
+@jax.jit
+def _cross_cov_blocks(H, fixed_pose, sources, targets):
+    """[(2x2)] cross-covariance blocks for pairs (sources[k], targets[k]).
+
+    One factorization; one batched solve for all distinct target columns.
+    """
+    c = _gauged_cholesky(H, fixed_pose)
+    n_dof = H.shape[0]
+    cols = (3 * targets[:, None] + jnp.arange(3)[None, :]).reshape(-1)
+    rhs = jnp.zeros((n_dof, cols.shape[0]), H.dtype).at[
+        cols, jnp.arange(cols.shape[0])].set(1.0)
+    X = jsl.cho_solve(c, rhs)                       # [n_dof, 3K]
+    X = X.reshape(n_dof, -1, 3)                     # [n_dof, K, 3]
+
+    def block(k):
+        rows = 3 * sources[k] + jnp.arange(3)
+        return X[rows, k, :]                        # [3, 3]
+
+    blocks = jax.vmap(block)(jnp.arange(sources.shape[0]))
+    return blocks[:, :2, :2]                        # top-left 2x2
+
+
+class LCMatcher:
+    """Uncertainty gate over candidate pairs, sharing one Hessian."""
+
+    def __init__(self, state, graph: FactorGraph):
+        self.state = state
+        x = jnp.asarray(
+            np.concatenate([state.solution, state.line_poses], axis=0),
+            state.problem.points.dtype)
+        self.H, _, _ = assemble_normal_equations(x, graph)
+
+    def chi_square_score(self, source: int, target: int) -> Tuple[np.ndarray, float]:
+        cov, score = self._scores([(source, target)])[0]
+        return cov, score
+
+    def _scores(self, pairs: List[Tuple[int, int]]):
+        if not pairs:
+            return []
+        out = []
+        # Group by the re-gauge pose (min(s,t) - 1, reference lc_matcher.cc:38)
+        # so each group shares one factorization.
+        groups: Dict[int, List[Tuple[int, int]]] = {}
+        for s, t in pairs:
+            groups.setdefault(max(min(s, t) - 1, 0), []).append((s, t))
+        results = {}
+        for fixed_pose, group in groups.items():
+            ss = jnp.asarray([g[0] for g in group], jnp.int32)
+            tt = jnp.asarray([g[1] for g in group], jnp.int32)
+            blocks = np.asarray(_cross_cov_blocks(self.H, fixed_pose, ss, tt),
+                                np.float64)
+            for k, (s, t) in enumerate(group):
+                cov = blocks[k]
+                delta = self.state.solution[t, :2] - self.state.solution[s, :2]
+                try:
+                    score = float(delta @ np.linalg.inv(cov) @ delta)
+                except np.linalg.LinAlgError:
+                    score = float("inf")
+                results[(s, t)] = (cov, score)
+        return [results[(s, t)] for s, t in pairs]
+
+    def get_possible_matches(self, source: int, candidates: List[int],
+                             threshold: float = CHI_SQUARE_THRESHOLD) -> List[int]:
+        pairs = [(source, t) for t in candidates if t != source]
+        scored = self._scores(pairs)
+        return [t for (s, t), (_, score) in zip(pairs, scored)
+                if score < threshold]

@@ -67,7 +67,7 @@ def graph_pspec(graph: FactorGraph) -> FactorGraph:
     return jax.tree.map(lambda _: P("factors"), graph)
 
 
-def make_sharded_fns(mesh: Mesh, graph: FactorGraph, tw, rw):
+def make_sharded_fns(mesh: Mesh, graph: FactorGraph):
     """Returns (assemble_fn, cost_fn) with factor-sharded evaluation.
 
     The returned closures take the replicated dof array x and produce
@@ -79,7 +79,7 @@ def make_sharded_fns(mesh: Mesh, graph: FactorGraph, tw, rw):
         shard_map, mesh=mesh, in_specs=(P(), gspec), out_specs=(P(), P(), P()),
         check_vma=False)
     def _assemble(x, local_graph):
-        H, g, cost = assemble_normal_equations(x, local_graph, tw, rw)
+        H, g, cost = assemble_normal_equations(x, local_graph)
         H = jax.lax.psum(H, "factors")
         g = jax.lax.psum(g, "factors")
         cost = jax.lax.psum(cost, "factors")
@@ -89,12 +89,12 @@ def make_sharded_fns(mesh: Mesh, graph: FactorGraph, tw, rw):
         shard_map, mesh=mesh, in_specs=(P(), gspec), out_specs=P(),
         check_vma=False)
     def _cost(x, local_graph):
-        return jax.lax.psum(total_cost(x, local_graph, tw, rw), "factors")
+        return jax.lax.psum(total_cost(x, local_graph), "factors")
 
     return (lambda x: _assemble(x, graph)), (lambda x: _cost(x, graph))
 
 
-def sharded_lm_solve(x0, graph: FactorGraph, tw, rw, fixed_dof, mesh: Mesh,
+def sharded_lm_solve(x0, graph: FactorGraph, fixed_dof, mesh: Mesh,
                      params: LMParams = LMParams()) -> LMResult:
     """LM solve with factor-parallel assembly across the mesh.
 
@@ -103,9 +103,6 @@ def sharded_lm_solve(x0, graph: FactorGraph, tw, rw, fixed_dof, mesh: Mesh,
     """
     num = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     graph = pad_graph(graph, num)
-    dtype = x0.dtype
-    tw = jnp.asarray(tw, dtype)
-    rw = jnp.asarray(rw, dtype)
     # Place factor shards / replicate x explicitly so jit does not need to
     # guess layouts.
     graph = jax.device_put(
@@ -113,7 +110,7 @@ def sharded_lm_solve(x0, graph: FactorGraph, tw, rw, fixed_dof, mesh: Mesh,
                             graph_pspec(graph)))
     x0 = jax.device_put(x0, NamedSharding(mesh, P()))
     fixed_dof = jax.device_put(fixed_dof, NamedSharding(mesh, P()))
-    assemble_fn, cost_fn = make_sharded_fns(mesh, graph, tw, rw)
+    assemble_fn, cost_fn = make_sharded_fns(mesh, graph)
 
     @functools.partial(jax.jit, static_argnames=())
     def run(x0, fixed_dof):

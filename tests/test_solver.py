@@ -12,7 +12,7 @@ from nautilus_tpu.core.problem import SLAMState
 from nautilus_tpu.ingest.synthetic import make_problem
 from nautilus_tpu.solve import correspond
 from nautilus_tpu.solve.factors import (Correspondences, FactorGraph,
-                                        OdomFactors, empty_hitl,
+                                        empty_hitl, make_odom_factors,
                                         normal_residual, odom_residual,
                                         point_residual, total_cost,
                                         assemble_normal_equations)
@@ -115,12 +115,9 @@ class TestLMSolve:
                        np.zeros(n), np.zeros(n)], axis=-1)
         x0 = gt.copy()
         x0[1:] += rng.normal(scale=0.2, size=(n - 1, 3))
-        odom = OdomFactors(
-            i=jnp.arange(n - 1, dtype=jnp.int32),
-            j=jnp.arange(1, n, dtype=jnp.int32),
-            trans=jnp.asarray(gt[1:, :2] - gt[:-1, :2], jnp.float32),
-            rot=jnp.asarray(gt[1:, 2] - gt[:-1, 2], jnp.float32),
-            mask=jnp.ones(n - 1, bool))
+        odom = make_odom_factors(
+            np.arange(n - 1), np.arange(1, n),
+            gt[1:, :2] - gt[:-1, :2], gt[1:, 2] - gt[:-1, 2])
         empty_corr = Correspondences(
             src=jnp.zeros((0,), jnp.int32), tgt=jnp.zeros((0,), jnp.int32),
             src_pts=jnp.zeros((0, 1, 2)), tgt_pts=jnp.zeros((0, 1, 2)),
@@ -128,7 +125,7 @@ class TestLMSolve:
             mask=jnp.zeros((0, 1), bool))
         graph = FactorGraph(odom=odom, planar=empty_corr, edge=empty_corr,
                             hitl=empty_hitl())
-        res = lm_solve(jnp.asarray(x0, jnp.float32), graph, 1.0, 1.0,
+        res = lm_solve(jnp.asarray(x0, jnp.float32), graph,
                        fixed_pose_mask(3 * n))
         assert float(res.cost) < 1e-8
         np.testing.assert_allclose(np.asarray(res.x), gt, atol=1e-3)
@@ -136,10 +133,9 @@ class TestLMSolve:
     def test_gauge_pose_fixed(self):
         n = 3
         x0 = np.array([[5.0, 6.0, 0.7], [6.0, 6.0, 0.7], [7.0, 6.0, 0.7]])
-        odom = OdomFactors(
-            i=jnp.array([0, 1], jnp.int32), j=jnp.array([1, 2], jnp.int32),
-            trans=jnp.array([[0.9, 0.1], [1.1, -0.1]], jnp.float32),
-            rot=jnp.zeros(2, jnp.float32), mask=jnp.ones(2, bool))
+        odom = make_odom_factors(
+            [0, 1], [1, 2], np.array([[0.9, 0.1], [1.1, -0.1]]),
+            np.zeros(2))
         empty_corr = Correspondences(
             src=jnp.zeros((0,), jnp.int32), tgt=jnp.zeros((0,), jnp.int32),
             src_pts=jnp.zeros((0, 1, 2)), tgt_pts=jnp.zeros((0, 1, 2)),
@@ -147,7 +143,7 @@ class TestLMSolve:
             mask=jnp.zeros((0, 1), bool))
         graph = FactorGraph(odom=odom, planar=empty_corr, edge=empty_corr,
                             hitl=empty_hitl())
-        res = lm_solve(jnp.asarray(x0, jnp.float32), graph, 1.0, 1.0,
+        res = lm_solve(jnp.asarray(x0, jnp.float32), graph,
                        fixed_pose_mask(3 * n))
         np.testing.assert_allclose(np.asarray(res.x)[0], x0[0], atol=1e-7)
 

@@ -161,13 +161,21 @@ def _scan_smoothness(points, mask, params: FeatureParams):
     return jnp.clip(score, 0.0, 1.0), valid
 
 
+_GREEDY_CANDIDATES = 128  # scan length cap; caps are <= 20 selections
+
+
 def _greedy_select(points, order, ok, max_count: int, dist_threshold: float):
     """Greedy min-distance selection following a candidate order.
 
     points [P, 2]; order [P] candidate indices (best first); ok [P] per-point
     eligibility.  Returns (sel_idx [K], sel_mask [K]) for K = max_count.
     Mirrors reference validFeaturePoint (feature_extracter.cc:119-142).
+
+    Only the first _GREEDY_CANDIDATES entries of the order are scanned: the
+    caps (<= 20 features) are always filled long before that, and a short
+    fixed-length lax.scan keeps XLA compile time flat in P.
     """
+    order = order[:min(order.shape[0], _GREEDY_CANDIDATES)]
     k = max_count
     far = jnp.full((k, 2), 1e9, dtype=points.dtype)
 

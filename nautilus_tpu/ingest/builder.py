@@ -258,7 +258,19 @@ def process_bag_file(bag_path, config, verbose: bool = True,
     odom_topic = config.odom_topic
     found_lidar = found_odom = False
     count = 0
-    for bm in read_bag(bag_path, topics=[lidar_topic, odom_topic]):
+    # Prefer the native C++ reader (nautilus_tpu/native/bagreader.cc);
+    # fall back to the pure Python parser.
+    messages = None
+    try:
+        from nautilus_tpu.ingest.native import read_bag_native
+        messages = read_bag_native(bag_path, lidar_topic, odom_topic)
+    except ValueError:
+        messages = None
+    if messages is None:
+        messages = read_bag(bag_path, topics=[lidar_topic, odom_topic])
+    elif verbose:
+        print("(native bag reader)")
+    for bm in messages:
         if builder.done():
             break
         count += 1

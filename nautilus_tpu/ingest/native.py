@@ -1,0 +1,155 @@
+"""ctypes bindings for the native C++ bag reader, with self-building.
+
+Loads nautilus_tpu/native/libntbag.so; if absent, compiles it with g++ on
+first use (cached next to the source).  All consumers fall back to the pure
+Python parser (ingest/rosbag.py) when the native library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from nautilus_tpu.ingest.rosbag import (BagMessage, CobotOdometryMsg,
+                                        HeaderMsg, LaserScanMsg, OdometryMsg)
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "libntbag.so"
+_SRC_PATH = _NATIVE_DIR / "bagreader.cc"
+_BZ2_CANDIDATES = [
+    "/usr/lib/x86_64-linux-gnu/libbz2.so.1",
+    "/usr/lib/libbz2.so.1",
+    "/lib/x86_64-linux-gnu/libbz2.so.1",
+]
+
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    bz2 = next((c for c in _BZ2_CANDIDATES if Path(c).exists()), None)
+    if bz2 is None:
+        return False
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+           str(_SRC_PATH), bz2, "-o", str(_SO_PATH)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            FileNotFoundError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not _SO_PATH.exists() or (_SRC_PATH.exists() and
+                                 _SRC_PATH.stat().st_mtime
+                                 > _SO_PATH.stat().st_mtime):
+        if not _build():
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO_PATH))
+    except OSError:
+        _build_failed = True
+        return None
+    lib.nt_bag_parse.restype = ctypes.c_void_p
+    lib.nt_bag_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                 ctypes.c_char_p]
+    lib.nt_bag_error.restype = ctypes.c_char_p
+    lib.nt_bag_error.argtypes = [ctypes.c_void_p]
+    for name in ("nt_bag_num_scans", "nt_bag_num_odoms", "nt_bag_num_cobots"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_long
+        fn.argtypes = [ctypes.c_void_p]
+    lib.nt_bag_scan_meta.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                     ctypes.POINTER(ctypes.c_double)]
+    lib.nt_bag_scan_ranges.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                       ctypes.POINTER(ctypes.c_float)]
+    lib.nt_bag_odoms.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_double)]
+    lib.nt_bag_cobots.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_double)]
+    lib.nt_bag_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def read_bag_native(path, lidar_topic: str,
+                    odom_topic: str) -> Optional[List[BagMessage]]:
+    """Parse with the native reader; None if unavailable or on parse error.
+
+    Returns messages in original bag stream order (merged by the per-message
+    order index the native layer records).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    handle = lib.nt_bag_parse(str(path).encode(), lidar_topic.encode(),
+                              odom_topic.encode())
+    try:
+        err = lib.nt_bag_error(handle)
+        if err:
+            raise ValueError(f"native bag parse failed: {err.decode()}")
+        entries = []
+        n_scans = lib.nt_bag_num_scans(handle)
+        meta = (ctypes.c_double * 8)()
+        for i in range(n_scans):
+            lib.nt_bag_scan_meta(handle, i, meta)
+            k = int(meta[6])
+            ranges = np.empty(k, np.float32)
+            if k:
+                lib.nt_bag_scan_ranges(
+                    handle, i,
+                    ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            msg = LaserScanMsg(
+                header=HeaderMsg(0, meta[0], "laser"),
+                angle_min=meta[1], angle_max=meta[2], angle_increment=meta[3],
+                time_increment=0.0, scan_time=0.0,
+                range_min=meta[4], range_max=meta[5],
+                ranges=ranges, intensities=np.zeros(0, np.float32))
+            entries.append((int(meta[7]),
+                            BagMessage(lidar_topic, LaserScanMsg.TYPE,
+                                       meta[0], msg)))
+        n_od = lib.nt_bag_num_odoms(handle)
+        if n_od:
+            buf = np.empty((n_od, 8), np.float64)
+            lib.nt_bag_odoms(handle, buf.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)))
+            for row in buf:
+                msg = OdometryMsg(
+                    header=HeaderMsg(0, row[0], "odom"), child_frame_id="",
+                    position=np.array([row[1], row[2], 0.0]),
+                    orientation=row[3:7].copy(),
+                    twist_linear=np.zeros(3), twist_angular=np.zeros(3))
+                entries.append((int(row[7]),
+                                BagMessage(odom_topic, OdometryMsg.TYPE,
+                                           row[0], msg)))
+        n_cb = lib.nt_bag_num_cobots(handle)
+        if n_cb:
+            buf = np.empty((n_cb, 5), np.float64)
+            lib.nt_bag_cobots(handle, buf.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)))
+            for row in buf:
+                msg = CobotOdometryMsg(header=HeaderMsg(0, row[0], "odom"),
+                                       dr=row[1], dx=row[2], dy=row[3])
+                entries.append((int(row[4]),
+                                BagMessage(odom_topic, CobotOdometryMsg.TYPE,
+                                           row[0], msg)))
+        entries.sort(key=lambda e: e[0])
+        return [m for _, m in entries]
+    finally:
+        lib.nt_bag_free(handle)

@@ -1,0 +1,132 @@
+"""Aux subsystems: visualization snapshots, timers, full-state checkpoint."""
+
+import numpy as np
+import pytest
+
+from nautilus_tpu.core.luaconf import load_config_text
+from nautilus_tpu.ingest.synthetic import make_problem
+from nautilus_tpu.io.checkpoint import load_state, save_state
+from nautilus_tpu.io.vectorize import extract_lines, vectorize
+from nautilus_tpu.solve.hitl import HitlSlamInputMsg, hitl_callback
+from nautilus_tpu.solve.solver import Solver
+from nautilus_tpu.utils.timer import CumulativeFunctionTimer, FunctionTimer
+from nautilus_tpu.viz.visualizer import (SnapshotVisualizer,
+                                         transformed_clouds)
+
+CFG = """
+translation_weight=1
+rotation_weight=1
+lidar_constraint_amount_min=1
+lidar_constraint_amount_max=2
+outlier_threshold=0.25
+hitl_line_width=0.1
+hitl_pose_point_threshold=10
+"""
+
+
+class TestVisualizer:
+    def test_snapshots_recorded_per_window(self):
+        state, _ = make_problem(num_nodes=6, world_kind="room", num_beams=180)
+        cfg = load_config_text(CFG)
+        vis = SnapshotVisualizer(record_clouds=True)
+        Solver(state, cfg, visualizer=vis).solve_slam()
+        # initial draw + one per window (2 windows).
+        assert len(vis.snapshots) == 3
+        assert vis.snapshots[0].window is None
+        assert vis.snapshots[-1].window == 2
+        assert vis.snapshots[-1].all_points.shape[1] == 2
+        assert len(vis.snapshots[-1].planar_points) <= len(
+            vis.snapshots[-1].all_points)
+
+    def test_npz_output(self, tmp_path):
+        state, _ = make_problem(num_nodes=4, world_kind="room", num_beams=180)
+        vis = SnapshotVisualizer(output_dir=tmp_path)
+        vis.draw_solution(state)
+        files = list(tmp_path.glob("snapshot_*.npz"))
+        assert len(files) == 1
+        z = np.load(files[0])
+        assert z["poses"].shape == (4, 3)
+
+    def test_transformed_clouds_identity(self):
+        state, _ = make_problem(num_nodes=3, world_kind="room", num_beams=180)
+        state.solution[:] = 0.0
+        cloud = transformed_clouds(state, "all")
+        raw = np.asarray(state.problem.points)[
+            np.asarray(state.problem.points_mask)]
+        np.testing.assert_allclose(cloud, raw.reshape(-1, 2), atol=1e-9)
+
+
+class TestTimers:
+    def test_function_timer(self):
+        messages = []
+        with FunctionTimer("unit", printer=messages.append) as t:
+            pass
+        assert t.elapsed_ms is not None
+        assert "unit took" in messages[0]
+
+    def test_cumulative_timer(self):
+        t = CumulativeFunctionTimer("cumul-test")
+        for _ in range(3):
+            with t.scope():
+                pass
+        assert t.invocations == 3
+        assert "3 invocations" in t.report()
+
+
+class TestCheckpoint:
+    def test_roundtrip_with_hitl_and_lc(self, tmp_path):
+        state, _ = make_problem(num_nodes=6, world_kind="room", num_beams=360)
+        cfg = load_config_text(CFG).replace(translation_weight=0.05,
+                                            rotation_weight=0.05)
+        solver = Solver(state, cfg)
+        msg = HitlSlamInputMsg.from_points(
+            (-5.2, -5.0), (5.2, -5.0), (-5.2, -4.8), (5.2, -4.8))
+        hitl_callback(solver, msg, verbose=False)
+        state.lc_factors.append(
+            (0, 3, np.array([0.5, 0.2]), 0.1, 2.0, 2.0))
+        f = tmp_path / "session.npz"
+        save_state(state, f)
+
+        fresh, _ = make_problem(num_nodes=6, world_kind="room", num_beams=360)
+        load_state(fresh, f)
+        np.testing.assert_allclose(fresh.solution, state.solution)
+        assert len(fresh.hitl_constraints) == len(state.hitl_constraints)
+        if state.hitl_constraints:
+            a = state.hitl_constraints[0]
+            b = fresh.hitl_constraints[0]
+            np.testing.assert_allclose(a.line_a[0], b.line_a[0])
+            assert [n for n, _ in a.line_a_poses] == [
+                n for n, _ in b.line_a_poses]
+        assert len(fresh.lc_factors) == 1
+        np.testing.assert_allclose(fresh.lc_factors[0][2], [0.5, 0.2])
+        # The restored state solves identically.
+        s2 = Solver(fresh, cfg).solve_slam()
+        assert np.isfinite(s2.final_cost)
+
+
+class TestVectorize:
+    def test_extract_lines_square(self):
+        # A square room: 4 walls -> ~4 segments.
+        xs = np.linspace(0, 4, 300)
+        walls = np.concatenate([
+            np.stack([xs, np.zeros_like(xs)], -1),
+            np.stack([xs, np.full_like(xs, 4.0)], -1),
+            np.stack([np.zeros_like(xs), xs], -1),
+            np.stack([np.full_like(xs, 4.0), xs], -1)])
+        segs = extract_lines(walls, min_inliers=50)
+        assert 4 <= len(segs) <= 6
+        # Each extracted segment is ~4 long and axis-aligned.
+        for a, b in segs:
+            length = np.linalg.norm(b - a)
+            assert length > 3.0
+            d = (b - a) / length
+            assert min(abs(d[0]), abs(d[1])) < 0.05
+
+    def test_vectorize_writes_csv(self, tmp_path):
+        state, _ = make_problem(num_nodes=6, world_kind="room", num_beams=360)
+        out = tmp_path / "map.txt"
+        lines = vectorize(state, out, verbose=False)
+        assert out.exists()
+        rows = out.read_text().strip().splitlines()
+        assert len(rows) == len(lines)
+        assert all(len(r.split(",")) == 4 for r in rows)

@@ -74,6 +74,36 @@ def relative_pose_factor(state, s: int, t: int, transform: np.ndarray,
     return (i, j, trans, float(rot), wt, wr)
 
 
+def _dump_pair_image(state, s: int, t: int, transform: np.ndarray,
+                     score: float, debug_dir: str) -> None:
+    """Debug raster of a candidate pair + aligned overlay (replaces the
+    reference's CImg dumps to lc_debug_output_dir, cimg_debug.h:15-114)."""
+    from pathlib import Path
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    out = Path(debug_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    pts = np.asarray(state.problem.points)
+    msk = np.asarray(state.problem.points_mask)
+    pa, pb = pts[s][msk[s]], pts[t][msk[t]]
+    c, sn = np.cos(transform[2]), np.sin(transform[2])
+    pa_aligned = pa @ np.array([[c, sn], [-sn, c]]) + transform[:2]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 5))
+    ax1.plot(pa[:, 0], pa[:, 1], ".", ms=1, label=f"scan {s}")
+    ax1.plot(pb[:, 0], pb[:, 1], ".", ms=1, label=f"scan {t}")
+    ax1.set_title("raw")
+    ax1.legend()
+    ax2.plot(pa_aligned[:, 0], pa_aligned[:, 1], ".", ms=1)
+    ax2.plot(pb[:, 0], pb[:, 1], ".", ms=1)
+    ax2.set_title(f"aligned (score {score:.2f})")
+    for ax in (ax1, ax2):
+        ax.set_aspect("equal")
+    fig.savefig(out / f"lc_{s:04d}_{t:04d}.png", dpi=100,
+                bbox_inches="tight")
+    plt.close(fig)
+
+
 def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
                   csm_params: CSMParams = None) -> AutoLCReport:
     """Full auto-LC pass over the solver's state."""
@@ -83,6 +113,10 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
                           accepted=[])
 
     candidates = get_lc_candidates(state)
+    if cfg.get("keyframe_local_uncertainty_filtering", False):
+        from nautilus_tpu.loop_closure.keyframes import select_keyframes
+        kf = select_keyframes(state, cfg)
+        candidates = [c for c in candidates if kf[c]]
     report.candidates = candidates
     if verbose:
         print(f"Auto-LC: {len(candidates)} candidate scans.")
@@ -119,8 +153,16 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     threshold = float(cfg.csm_score_threshold)
     wt = float(cfg.lc_translation_weight)
     wr = float(cfg.lc_rotation_weight)
+    # Dump pair images only when the user opted in by creating the debug
+    # dir (the key always has a default value, default_config.lua:142).
+    from pathlib import Path as _Path
+    debug_dir = cfg.get("lc_debug_output_dir", "")
+    debug_dir = debug_dir if debug_dir and _Path(debug_dir).is_dir() else ""
     for k, (s, t) in enumerate(report.gated_pairs):
         report.csm_results.append((s, t, float(scores[k]), transforms[k]))
+        if debug_dir:
+            _dump_pair_image(state, s, t, transforms[k], float(scores[k]),
+                             debug_dir)
         if scores[k] >= threshold:
             report.accepted.append((s, t))
             if apply:

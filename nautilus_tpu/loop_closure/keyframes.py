@@ -1,0 +1,65 @@
+"""Keyframe selection for automatic loop closure.
+
+The reference carries an ``is_keyframe`` flag per node (slam_types.h:126)
+and configures keyframe policy via config keys (default_config.lua:98-116):
+min odometry spacing (``keyframe_min_odom_distance``), optional local-
+uncertainty filtering (``keyframe_local_uncertainty_filtering`` +
+``local_uncertainty_*`` thresholds via the estimator service), and an
+optional chi-squared test (``keyframe_chi_squared_test``).  The snapshot
+never populates the flag; this module implements the policy the config
+describes, batched where possible.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import jax
+
+from nautilus_tpu.core.problem import SLAMState
+from nautilus_tpu.loop_closure.learned import local_uncertainty
+
+
+def select_keyframes(state: SLAMState, config) -> np.ndarray:
+    """Returns a bool mask [N] of keyframe nodes per the config policy."""
+    n = state.num_nodes
+    min_dist = float(config.get("keyframe_min_odom_distance", 0.5))
+    use_uncertainty = bool(config.get("keyframe_local_uncertainty_filtering",
+                                      True))
+    cond_thresh = float(config.get("local_uncertainty_condition_threshold",
+                                   9.5))
+    scale_thresh = float(config.get("local_uncertainty_scale_threshold", 0.3))
+
+    if use_uncertainty:
+        conds, scales = jax.vmap(local_uncertainty)(
+            state.problem.points, state.problem.points_mask,
+            state.problem.normals)
+        conds = np.asarray(conds)
+        scales = np.asarray(scales)
+        uncertainty_ok = (conds < cond_thresh) & (scales < scale_thresh)
+    else:
+        uncertainty_ok = np.ones(n, bool)
+
+    keyframes = np.zeros(n, bool)
+    last_loc = None
+    for i in range(n):
+        if not uncertainty_ok[i]:
+            continue
+        loc = state.solution[i, :2]
+        if last_loc is not None and np.linalg.norm(loc - last_loc) < min_dist:
+            continue
+        keyframes[i] = True
+        last_loc = loc
+    return keyframes
+
+
+def keyframe_pairs(keyframes: np.ndarray, min_keyframe_gap: int) -> List[tuple]:
+    """All keyframe pairs at least ``lc_min_keyframes`` keyframes apart
+    (config default_config.lua:136)."""
+    idx = np.where(keyframes)[0]
+    pairs = []
+    for a in range(len(idx)):
+        for b in range(a + min_keyframe_gap, len(idx)):
+            pairs.append((int(idx[a]), int(idx[b])))
+    return pairs

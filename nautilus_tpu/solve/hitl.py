@@ -167,6 +167,35 @@ def solved_odom_factors(state: SLAMState, max_window: int):
     return ii, jj, trans, rot
 
 
+def solved_odom_factors_between(state: SLAMState, a: int, b: int):
+    """GetSolvedOdomFactorsBetweenNodes (solver.cc:429-448): consecutive
+    factors a..b from the current solution, with *wrapped* rotation
+    difference (the reference uses AngleDiff here, unlike the densified
+    variant)."""
+    assert b > a
+    sol = state.solution
+    ii = np.arange(a, b)
+    jj = ii + 1
+    trans = sol[jj, :2] - sol[ii, :2]
+    rot = geo_angle_diff(sol[jj, 2], sol[ii, 2])
+    return ii, jj, trans, rot
+
+
+def geo_angle_diff(a, b):
+    d = a - b
+    return d - 2.0 * np.pi * np.round(d / (2.0 * np.pi))
+
+
+def total_odom_change(trans: np.ndarray, rot: np.ndarray):
+    """GetTotalOdomChange (solver.cc:450-461): summed translation and
+    wrapped-summed rotation over a factor list."""
+    total_trans = trans.sum(axis=0) if len(trans) else np.zeros(2)
+    total_rot = 0.0
+    for r in rot:
+        total_rot = float(geo_angle_diff(total_rot + r, 0.0))
+    return total_trans, total_rot
+
+
 def hitl_callback(solver, msg: HitlSlamInputMsg, verbose: bool = True):
     """Full HitlCallback flow (solver.cc:534-559) on a Solver instance."""
     state: SLAMState = solver.state

@@ -1,0 +1,109 @@
+"""Learned-LC service equivalents: scan matching + local uncertainty +
+keyframe selection."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nautilus_tpu.core.luaconf import load_config_text
+from nautilus_tpu.core.preprocess import compute_normals
+from nautilus_tpu.ingest.synthetic import (make_problem, make_world, raycast,
+                                           scan_to_points)
+from nautilus_tpu.loop_closure.keyframes import keyframe_pairs, select_keyframes
+from nautilus_tpu.loop_closure.learned import (local_uncertainty, match_score,
+                                               scan_descriptor)
+
+
+def _pad(c, p=768):
+    out = np.zeros((p, 2), np.float32)
+    m = np.zeros(p, bool)
+    out[:len(c)] = c
+    m[:len(c)] = True
+    return jnp.asarray(out), jnp.asarray(m)
+
+
+def _scan_at(pose, world="office"):
+    w = make_world(world)
+    return scan_to_points(raycast(w, np.asarray(pose), 540, max_range=10),
+                          max_range=10)
+
+
+class TestMatchScore:
+    def test_self_match_is_high(self):
+        a, ma = _pad(_scan_at([1.0, 2.0, 0.3]))
+        s = float(match_score(a, ma, a, ma))
+        assert s > 0.99
+
+    def test_rotation_invariance(self):
+        a, ma = _pad(_scan_at([1.0, 2.0, 0.3]))
+        b, mb = _pad(_scan_at([1.0, 2.0, 0.3 + 1.2]))  # same spot, rotated
+        s = float(match_score(a, ma, b, mb))
+        assert s > 0.9
+
+    def test_different_places_score_lower(self):
+        a, ma = _pad(_scan_at([1.0, 2.0, 0.3]))
+        c, mc = _pad(_scan_at([-6.0, -6.0, 2.0]))
+        s_same = float(match_score(a, ma, a, ma))
+        s_diff = float(match_score(a, ma, c, mc))
+        assert s_diff < s_same
+        assert s_diff < 0.9
+
+    def test_descriptor_normalized(self):
+        a, ma = _pad(_scan_at([0.0, 0.0, 0.0]))
+        d = np.asarray(scan_descriptor(a, ma))
+        assert np.linalg.norm(d) == pytest.approx(1.0, rel=1e-5)
+
+
+class TestLocalUncertainty:
+    def _uncertainty(self, cloud):
+        pts, mask = _pad(cloud)
+        normals = compute_normals(pts[None], mask[None])[0]
+        c, s = local_uncertainty(pts, mask, normals)
+        return float(c), float(s)
+
+    def test_corner_well_constrained_vs_corridor(self):
+        # Corner scan constrains both axes; a single straight wall only one.
+        corner = _scan_at([1.0, 1.0, 0.8], world="corner")
+        xs = np.linspace(-4, 4, 300)
+        wall = np.stack([xs, np.full_like(xs, 2.0)], -1).astype(np.float32)
+        c_corner, _ = self._uncertainty(corner)
+        c_wall, _ = self._uncertainty(wall)
+        assert c_wall > c_corner * 5
+
+
+class TestKeyframes:
+    def test_spacing_policy(self):
+        state, _ = make_problem(num_nodes=20, world_kind="office",
+                                num_beams=540, seed=2)
+        cfg = load_config_text("""
+keyframe_min_odom_distance=1.0
+keyframe_local_uncertainty_filtering=false
+""")
+        kf = select_keyframes(state, cfg)
+        idx = np.where(kf)[0]
+        assert len(idx) >= 2
+        locs = state.solution[idx, :2]
+        d = np.linalg.norm(np.diff(locs, axis=0), axis=-1)
+        assert np.all(d >= 1.0 - 1e-9)
+
+    def test_uncertainty_filter_reduces_keyframes(self):
+        state, _ = make_problem(num_nodes=12, world_kind="office",
+                                num_beams=540, seed=2)
+        open_cfg = load_config_text("""
+keyframe_min_odom_distance=0.1
+keyframe_local_uncertainty_filtering=false
+""")
+        strict_cfg = load_config_text("""
+keyframe_min_odom_distance=0.1
+keyframe_local_uncertainty_filtering=true
+local_uncertainty_condition_threshold=1.0001
+local_uncertainty_scale_threshold=0.0001
+""")
+        assert select_keyframes(state, open_cfg).sum() > 0
+        assert select_keyframes(state, strict_cfg).sum() == 0
+
+    def test_keyframe_pairs_gap(self):
+        kf = np.zeros(10, bool)
+        kf[[0, 2, 4, 6, 8]] = True
+        pairs = keyframe_pairs(kf, min_keyframe_gap=2)
+        assert (0, 4) in pairs and (0, 2) not in pairs

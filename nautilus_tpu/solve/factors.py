@@ -199,28 +199,56 @@ def total_cost(x, graph: FactorGraph):
 # Normal-equation assembly
 # ---------------------------------------------------------------------------
 
-def _accumulate_two_pose(H, g, x, idx_a, idx_b, item_fn, data):
-    """Accumulate H/g contributions of a batch of two-pose factors.
+def linearize_two_pose(x, idx_a, idx_b, item_fn, data):
+    """Residuals + Jacobians of a batch of two-pose factors.
 
-    item_fn(pose6, *data_item) -> flat residual vector [m], where pose6 is
-    the concatenation of the two involved 3-dof poses.
+    item_fn(pose_a, pose_b, *data_item) -> residual array (raveled to [m]).
+    Returns (r [Q, m], J [Q, m, 6], dof [Q, 6]) or None when the factor
+    list is empty.
     """
     if idx_a.shape[0] == 0:
-        return H, g
-    pa = x[idx_a]
-    pb = x[idx_b]
-    p6 = jnp.concatenate([pa, pb], axis=-1)          # [Q, 6]
+        return None
+    p6 = jnp.concatenate([x[idx_a], x[idx_b]], axis=-1)   # [Q, 6]
 
     def f(p6_item, *d):
         return jnp.ravel(item_fn(p6_item[:3], p6_item[3:], *d))
 
     r = jax.vmap(f)(p6, *data)                       # [Q, m]
     J = jax.vmap(jax.jacfwd(f))(p6, *data)           # [Q, m, 6]
-    gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)    # [Q, 6]
-    Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)  # [Q, 6, 6]
     dof = jnp.concatenate(
         [3 * idx_a[:, None] + jnp.arange(3)[None, :],
          3 * idx_b[:, None] + jnp.arange(3)[None, :]], axis=1)  # [Q, 6]
+    return r, J, dof
+
+
+def _graph_factor_terms(x, graph: FactorGraph):
+    """Linearize every factor type; yields (r, J, dof) triples."""
+    od = graph.odom
+    terms = [linearize_two_pose(
+        x, od.i, od.j, odom_residual,
+        (od.trans, od.rot, od.mask, od.wt, od.wr))]
+    pl = graph.planar
+    terms.append(linearize_two_pose(
+        x, pl.src, pl.tgt, normal_residual,
+        (pl.src_pts, pl.tgt_pts, pl.src_nrm, pl.tgt_nrm, pl.mask)))
+    ed = graph.edge
+    terms.append(linearize_two_pose(
+        x, ed.src, ed.tgt, point_residual,
+        (ed.src_pts, ed.tgt_pts, ed.mask)))
+    ht = graph.hitl
+    terms.append(linearize_two_pose(
+        x, ht.node, ht.line, hitl_residual,
+        (ht.points, ht.mask, ht.seg_start, ht.seg_end)))
+    return [t for t in terms if t is not None]
+
+
+def _accumulate_two_pose(H, g, term):
+    """Scatter one linearized factor batch into dense normal equations."""
+    if term is None:
+        return H, g
+    r, J, dof = term
+    gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)    # [Q, 6]
+    Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)  # [Q, 6, 6]
     H = H.at[dof[:, :, None], dof[:, None, :]].add(Hq)
     g = g.at[dof].add(gq)
     return H, g
@@ -239,26 +267,8 @@ def assemble_normal_equations(x, graph: FactorGraph):
     n_dof = 3 * m
     H = jnp.zeros((n_dof, n_dof), x.dtype)
     g = jnp.zeros((n_dof,), x.dtype)
-
-    od = graph.odom
-    H, g = _accumulate_two_pose(
-        H, g, x, od.i, od.j, odom_residual,
-        (od.trans, od.rot, od.mask, od.wt, od.wr))
-
-    pl = graph.planar
-    H, g = _accumulate_two_pose(
-        H, g, x, pl.src, pl.tgt, normal_residual,
-        (pl.src_pts, pl.tgt_pts, pl.src_nrm, pl.tgt_nrm, pl.mask))
-
-    ed = graph.edge
-    H, g = _accumulate_two_pose(
-        H, g, x, ed.src, ed.tgt, point_residual,
-        (ed.src_pts, ed.tgt_pts, ed.mask))
-
-    ht = graph.hitl
-    H, g = _accumulate_two_pose(
-        H, g, x, ht.node, ht.line, hitl_residual,
-        (ht.points, ht.mask, ht.seg_start, ht.seg_end))
-
-    cost = total_cost(x, graph)
+    cost = jnp.zeros((), x.dtype)
+    for term in _graph_factor_terms(x, graph):
+        H, g = _accumulate_two_pose(H, g, term)
+        cost = cost + 0.5 * jnp.sum(term[0] * term[0])
     return H, g, cost

@@ -82,12 +82,19 @@ class Solver:
     """
 
     def __init__(self, state: SLAMState, config, visualizer=None,
-                 lm_params: Optional[LMParams] = None):
+                 lm_params: Optional[LMParams] = None,
+                 linear_solver: str = "auto"):
+        """linear_solver: 'dense' (Cholesky normal equations — fastest up
+        to a few thousand poses), 'cg' (matrix-free PCG, solve/cg.py — for
+        graphs where dense H no longer fits), or 'auto'."""
         self.state = state
         self.config = config
         self.visualizer = visualizer
         self.lm_params = lm_params or LMParams()
         n = state.num_nodes
+        if linear_solver == "auto":
+            linear_solver = "dense" if n <= 2500 else "cg"
+        self.linear_solver = linear_solver
         self.pairs = correspond.make_pairs(
             n, config.get_int("lidar_constraint_amount_max"))
         self._pair_src = jnp.asarray(self.pairs.src)
@@ -146,7 +153,12 @@ class Solver:
         for window in range(w_min, w_max + 1):
             t0 = time.perf_counter()
             graph = self.build_graph(x, window)
-            res: LMResult = lm_solve(x, graph, fixed, params=self.lm_params)
+            if self.linear_solver == "cg":
+                from nautilus_tpu.solve.cg import lm_solve_cg
+                res: LMResult = lm_solve_cg(x, graph, fixed,
+                                            params=self.lm_params)
+            else:
+                res = lm_solve(x, graph, fixed, params=self.lm_params)
             x = res.x
             x.block_until_ready()
             wall = time.perf_counter() - t0

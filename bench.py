@@ -53,6 +53,23 @@ def main():
     tpu_wall = time.perf_counter() - t0
     x_tpu = state.solution.copy()
 
+    # --- Scan-match throughput (BASELINE.md tracked metric: pairs/sec).
+    import jax
+    import jax.numpy as jnp
+    from nautilus_tpu.kernels.csm import CSMParams, csm_match_batch
+    pts = state.problem.points
+    msk = state.problem.points_mask
+    n_pairs = min(64, args.nodes - 1)
+    ss = np.arange(n_pairs)
+    tt = ss + 1
+    csm_params = CSMParams(scan_range=12.0)
+    res = csm_match_batch(pts[ss], msk[ss], pts[tt], msk[tt], csm_params)
+    jax.block_until_ready(res)  # warm-up/compile
+    t0 = time.perf_counter()
+    res = csm_match_batch(pts[ss], msk[ss], pts[tt], msk[tt], csm_params)
+    jax.block_until_ready(res)
+    scan_match_pairs_per_s = n_pairs / (time.perf_counter() - t0)
+
     # --- CPU reference engine.
     if args.skip_cpu:
         cpu_wall = float("nan")
@@ -88,6 +105,7 @@ def main():
         "final_cost_tpu": round(cost_tpu, 4),
         "final_cost_cpu": round(cost_cpu, 4) if cost_cpu == cost_cpu else None,
         "cost_parity_pct": round(parity_pct, 3) if parity_pct == parity_pct else None,
+        "scan_match_pairs_per_s": round(scan_match_pairs_per_s, 1),
     }))
     return 0
 

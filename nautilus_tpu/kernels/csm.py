@@ -184,25 +184,36 @@ def csm_match(cloud_a, mask_a, cloud_b, mask_b,
     ty0 = (oy0 - offset_lo).astype(jnp.float32) * params.low_res
     tx0 = (ox0 - offset_lo).astype(jnp.float32) * params.low_res
 
-    # ---- fine stage: gather-scored refinement around the coarse optimum ----
-    hi_cells = params.table_cells(params.high_res)
-    table_hi = _smear_log_table(
-        _raster(cloud_b, mask_b, halfwidth, params.high_res, hi_cells),
-        params.high_res, params.sigma)
-    rot_step_hi = max(params.high_res / params.scan_range, 1e-4)
-    n_rot_hi = min(max(int(np.ceil(rot_step_lo / rot_step_hi)), 1), 33)
-    thetas_hi = theta0 + (jnp.arange(n_rot_hi) - n_rot_hi // 2) * rot_step_hi
-    # +-1 coarse cell around the coarse optimum, in high-res steps.
-    offset_hi = int(round(params.low_res / params.high_res))
-    scores_hi, t_grid = _refine_stage(table_hi, cloud_a, mask_a, thetas_hi,
-                                      params.high_res, halfwidth, offset_hi,
-                                      tx0, ty0)
-    r1, oy1, ox1 = _argmax3(scores_hi)
-    theta = thetas_hi[r1]
-    ty = t_grid[0][oy1]
-    tx = t_grid[1][ox1]
-    best = scores_hi[r1, oy1, ox1] / n_valid
-    return best, jnp.stack([tx, ty, theta])
+    # ---- refinement pyramid: gather-scored stages around the optimum ----
+    # Each stage narrows translation to +-1 previous cell and rotation to
+    # +- half the previous rotation step, so the total gather count stays
+    # ~2M per pair instead of the ~125M a single 0.3 -> 0.01 jump needs.
+    mid_res = max(params.high_res * 5.0, params.high_res)
+    stages = [
+        # (res, rot_step, prev_res, prev_rot_step)
+        (mid_res, mid_res / params.scan_range, params.low_res, rot_step_lo),
+        (params.high_res, params.high_res / params.scan_range, mid_res,
+         mid_res / params.scan_range),
+    ]
+    theta = theta0
+    tx, ty = tx0, ty0
+    best = scores_lo[r0, oy0, ox0]
+    for res, rot_step, prev_res, prev_rot_step in stages:
+        cells = params.table_cells(res)
+        table = _smear_log_table(
+            _raster(cloud_b, mask_b, halfwidth, res, cells),
+            res, max(params.sigma, res * 0.5))
+        n_rot = min(max(int(np.ceil(prev_rot_step / rot_step)) | 1, 1), 9)
+        thetas = theta + (jnp.arange(n_rot) - n_rot // 2) * rot_step
+        offset_cells = int(round(prev_res / res))
+        scores, t_grid = _refine_stage(table, cloud_a, mask_a, thetas,
+                                       res, halfwidth, offset_cells, tx, ty)
+        r1, oy1, ox1 = _argmax3(scores)
+        theta = thetas[r1]
+        ty = t_grid[0][oy1]
+        tx = t_grid[1][ox1]
+        best = scores[r1, oy1, ox1]
+    return best / n_valid, jnp.stack([tx, ty, theta])
 
 
 def _refine_stage(table_hi, src_points, src_mask, thetas, res, halfwidth,
@@ -235,11 +246,15 @@ def _refine_stage(table_hi, src_points, src_mask, thetas, res, halfwidth,
         vals = jnp.where(src_mask[None, None, :], vals, 0.0)
         return jnp.sum(vals, axis=-1)                       # [win_y, win_x]
 
-    return jax.vmap(score_rot)(rot), (ty, tx)                # [R, win, win]
+    # Rotations in small sequential batches: a full vmap would materialize
+    # [R, win, win, P] gather outputs (hundreds of MB per pair when the
+    # matcher itself is vmapped over candidate pairs).
+    scores = jax.lax.map(score_rot, rot, batch_size=4)
+    return scores, (ty, tx)                                  # [R, win, win]
 
 
 def csm_match_batch(clouds_a, masks_a, clouds_b, masks_b,
-                    params: CSMParams = CSMParams(), chunk: int = 8):
+                    params: CSMParams = CSMParams(), chunk: int = 4):
     """Batched matching over candidate pairs (loop-closure workload)."""
     f = jax.vmap(lambda a, ma, b, mb: csm_match(a, ma, b, mb, params))
     outs = []

@@ -28,6 +28,7 @@ import time
 from typing import Callable, List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from nautilus_tpu.core.problem import SLAMProblem, SLAMState
@@ -122,26 +123,47 @@ class Solver:
         from nautilus_tpu.solve.hitl import build_hitl_factors
         return build_hitl_factors(self.state, dtype=self._dtype())
 
-    def build_graph(self, x, window) -> FactorGraph:
+    def build_graph(self, x, window,
+                    optimization_type: str = "feature") -> FactorGraph:
+        """Factor graph at solution x for one window size.
+
+        optimization_type mirrors the reference enum (solver.h:69):
+        'feature' — planar matches -> normal residuals, edge matches ->
+        point residuals (AddLidarResiduals FEATURE branch,
+        solver.cc:297-309); 'all' — full clouds matched by NN -> point
+        residuals (the ALL branch, solver.cc:310-317), chunked to bound the
+        [pairs, P, P] distance-matrix working set.
+        """
         cfg = self.config
         problem = self.state.problem
         outlier = cfg.outlier_threshold
+        n = problem.num_nodes
+        odom = odom_factors_from_state(self.state, self._dtype(),
+                                       cfg.translation_weight,
+                                       cfg.rotation_weight)
+        if optimization_type == "all":
+            full = correspond.associate_chunked(
+                problem, x[:n], self.pairs, window, outlier, feature="all",
+                chunk=64)
+            empty = jax.tree.map(lambda a: a[:0], full)
+            return FactorGraph(odom=odom, planar=empty, edge=full,
+                               hitl=self._hitl_factors())
         planar = correspond.associate(
-            problem, x[:problem.num_nodes], self._pair_src, self._pair_tgt,
+            problem, x[:n], self._pair_src, self._pair_tgt,
             window, outlier, feature="planar")
         edge = correspond.associate(
-            problem, x[:problem.num_nodes], self._pair_src, self._pair_tgt,
+            problem, x[:n], self._pair_src, self._pair_tgt,
             window, outlier, feature="edge")
-        return FactorGraph(
-            odom=odom_factors_from_state(self.state, self._dtype(),
-                                         cfg.translation_weight,
-                                         cfg.rotation_weight),
-            planar=planar, edge=edge, hitl=self._hitl_factors())
+        return FactorGraph(odom=odom, planar=planar, edge=edge,
+                           hitl=self._hitl_factors())
 
     # -- solving ------------------------------------------------------------
 
-    def solve_slam(self) -> SolveStats:
-        """Full growing-window solve; updates state.solution in place."""
+    def solve_slam(self, optimization_type: str = "feature") -> SolveStats:
+        """Full growing-window solve; updates state.solution in place.
+
+        The reference's SolveSLAM always optimizes FEATURE (solver.cc:363);
+        'all' is exposed for the OptimizationType::ALL path."""
         cfg = self.config
         stats = SolveStats()
         x = self._current_x()
@@ -152,7 +174,7 @@ class Solver:
         w_max = cfg.get_int("lidar_constraint_amount_max")
         for window in range(w_min, w_max + 1):
             t0 = time.perf_counter()
-            graph = self.build_graph(x, window)
+            graph = self.build_graph(x, window, optimization_type)
             if self.linear_solver == "cg":
                 from nautilus_tpu.solve.cg import lm_solve_cg
                 res: LMResult = lm_solve_cg(x, graph, fixed,

@@ -1,0 +1,23 @@
+# Developer conveniences (the reference wraps catkin/cmake; here: pytest,
+# bench, and the native library build).
+
+.PHONY: all test bench bench-quick native clean
+
+all: native
+
+native:
+	python -c "from nautilus_tpu.ingest.native import get_lib; \
+	           print('native bag reader:', 'ok' if get_lib() else 'unavailable')"
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+bench-quick:
+	python bench.py --quick
+
+clean:
+	rm -f nautilus_tpu/native/*.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -117,6 +117,20 @@ class Solver:
         mask[0:3] = True  # gauge: pose 0 constant (solver.cc:384-386)
         return jnp.asarray(mask)
 
+    def _odom_factors(self) -> OdomFactors:
+        """Device odometry factors, cached across the window sweep (the
+        factor list only changes on HITL/LC events)."""
+        key = (id(self.state.odometry_factors), len(self.state.lc_factors))
+        cached = getattr(self, "_odom_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        cfg = self.config
+        odom = odom_factors_from_state(self.state, self._dtype(),
+                                       cfg.translation_weight,
+                                       cfg.rotation_weight)
+        self._odom_cache = (key, odom)
+        return odom
+
     def _hitl_factors(self) -> HitlFactors:
         if not self.state.hitl_constraints:
             return empty_hitl(self._dtype())
@@ -138,9 +152,7 @@ class Solver:
         problem = self.state.problem
         outlier = cfg.outlier_threshold
         n = problem.num_nodes
-        odom = odom_factors_from_state(self.state, self._dtype(),
-                                       cfg.translation_weight,
-                                       cfg.rotation_weight)
+        odom = self._odom_factors()
         if optimization_type == "all":
             full = correspond.associate_chunked(
                 problem, x[:n], self.pairs, window, outlier, feature="all",
@@ -190,9 +202,10 @@ class Solver:
                 final_cost=float(res.cost),
                 iterations=int(res.iterations),
                 wall_s=wall))
-            self._writeback(x)
             if self.visualizer is not None:
+                self._writeback(x)
                 self.visualizer.draw_solution(self.state, window=window)
+        self._writeback(x)
         return stats
 
     def _writeback(self, x):

@@ -50,7 +50,8 @@ def build_state(cfg, args, verbose=True):
         if verbose:
             print(f"Captured {raw.points.shape[0]} nodes.")
     t0 = time.perf_counter()
-    normals, pi, pm, ei, em, _ = preprocess(raw.points, raw.points_mask)
+    normals, pi, pm, ei, em, _ = preprocess(raw.points, raw.points_mask,
+                                            config=cfg)
     problem = build_problem(raw, normals, pi, pm, ei, em)
     if verbose:
         print(f"Preprocessed (normals + features) in "

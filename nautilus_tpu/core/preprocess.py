@@ -52,9 +52,23 @@ class FeatureParams(NamedTuple):
 class NormalParams(NamedTuple):
     """Defaults mirror config/default_config.lua nc_* keys."""
 
-    neighborhood_size: float = 0.15
-    neighborhood_step: float = 0.1
+    neighborhood_size: float = 0.15   # nc_neighborhood_size
+    neighborhood_step: float = 0.1    # nc_neighborhood_step_size
     num_radius_steps: int = 4         # fixed growth schedule replacing the while loop
+    bin_number: int = 32              # nc_bin_number (hough method)
+    mean_distance: float = 0.1        # nc_mean_distance -> pair budget (hough)
+    k_neighbors: int = 12             # hough neighborhood cap
+    method: str = "pca"               # "pca" | "hough"
+
+
+def normal_params_from_config(cfg, method: str = "pca") -> NormalParams:
+    """Bind the nc_* Lua keys (reference normal_computation.h:12-17)."""
+    return NormalParams(
+        neighborhood_size=float(cfg.get("nc_neighborhood_size", 0.15)),
+        neighborhood_step=float(cfg.get("nc_neighborhood_step_size", 0.1)),
+        bin_number=int(cfg.get("nc_bin_number", 32)),
+        mean_distance=float(cfg.get("nc_mean_distance", 0.1)),
+        method=method)
 
 
 # ---------------------------------------------------------------------------
@@ -112,14 +126,81 @@ def _scan_normals(points, mask, params: NormalParams):
     return jnp.where(mask[:, None], normal, 0.0)
 
 
+def _scan_normals_hough(points, mask, params: NormalParams):
+    """Deterministic Hough-accumulator normals for one scan -> [P, 2].
+
+    Batched rebuild of the reference's randomized estimator
+    (normal_computation.cc:73-129 + CircularHoughAccumulator,
+    normal_computation.h:21-64): for each point, consider its
+    ``k_neighbors`` nearest neighbors within the growing-radius schedule,
+    form pair lines in a fixed order capped by the reference's sample
+    budget 1/(2 * mean_distance^2) (normal_computation.cc:39-41), vote
+    each line-normal angle (acos convention, in [0, pi]) into
+    ``bin_number`` bins around the circle, and output the winning bin's
+    average angle as the normal direction.  Deterministic: all pair
+    enumeration is by index order instead of rand().
+    """
+    p = points.shape[0]
+    k = params.k_neighbors
+    max_radius = (params.neighborhood_size
+                  + params.neighborhood_step * (params.num_radius_steps - 1))
+    diff = points[:, None, :] - points[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    pair_valid = mask[:, None] & mask[None, :]
+    d2 = jnp.where(pair_valid, d2, jnp.inf)
+    d2 = jnp.where(jnp.eye(p, dtype=bool), jnp.inf, d2)  # exclude self
+    # K nearest neighbors per point.
+    nbr_d2, nbr_idx = jax.lax.top_k(-d2, k)
+    nbr_d2 = -nbr_d2                                     # [P, K]
+    # Valid if inside the (final) growth radius; always keep the nearest
+    # (the reference grows the radius until it has >= 2 points).
+    ranks = jnp.arange(k)
+    nbr_ok = (nbr_d2 <= max_radius ** 2) | (ranks[None, :] == 0)
+    nbr_pts = points[nbr_idx]                            # [P, K, 2]
+
+    # Fixed pair enumeration (i < j), capped by the sample budget.
+    ii, jj = np.triu_indices(k, 1)
+    limit = max(int(1.0 / (2.0 * params.mean_distance ** 2)), 1)
+    ii = jnp.asarray(ii[:limit])
+    jj = jnp.asarray(jj[:limit])
+    pa = nbr_pts[:, ii, :]                               # [P, S, 2]
+    pb = nbr_pts[:, jj, :]
+    vote_ok = (nbr_ok[:, ii] & nbr_ok[:, jj])
+    seg = pb - pa
+    seg_len2 = jnp.sum(seg * seg, axis=-1)
+    vote_ok = vote_ok & (seg_len2 > 1e-12)
+    # Unit normal of the line through (pa, pb); acos(n . x_hat) in [0, pi]
+    # (normal_computation.cc:115-118).
+    inv_len = jax.lax.rsqrt(jnp.maximum(seg_len2, 1e-12))
+    nrm = jnp.stack([-seg[..., 1], seg[..., 0]], axis=-1) * inv_len[..., None]
+    angle = jnp.arccos(jnp.clip(nrm[..., 0], -1.0, 1.0))  # [P, S]
+    # Circular accumulator: bins of width 2*pi/bins, bin = round(a/step)
+    # (normal_computation.h:38-44).
+    step = 2.0 * jnp.pi / params.bin_number
+    bins = jnp.round(angle / step).astype(jnp.int32) % params.bin_number
+    one_hot = (jax.nn.one_hot(bins, params.bin_number, dtype=points.dtype)
+               * vote_ok[..., None].astype(points.dtype))
+    votes = jnp.sum(one_hot, axis=1)                     # [P, B]
+    best = jnp.argmax(votes, axis=-1)                    # [P]
+    in_best = (bins == best[:, None]) & vote_ok
+    wsum = jnp.sum(jnp.where(in_best, angle, 0.0), axis=-1)
+    wcnt = jnp.maximum(jnp.sum(in_best, axis=-1), 1)
+    avg_angle = wsum / wcnt
+    normal = jnp.stack([jnp.cos(avg_angle), jnp.sin(avg_angle)], axis=-1)
+    return jnp.where(mask[:, None], normal, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "chunk"))
 def compute_normals(points, mask, params: NormalParams = NormalParams(),
                     chunk: int = 64):
     """Normals for all scans. points [N, P, 2], mask [N, P] -> [N, P, 2].
 
     Processed in scan chunks to bound the [chunk, P, P] working set in HBM.
+    params.method selects the deterministic PCA estimator (default) or the
+    deterministic Hough-accumulator variant.
     """
-    return jax.lax.map(lambda args: _scan_normals(args[0], args[1], params),
+    fn = _scan_normals_hough if params.method == "hough" else _scan_normals
+    return jax.lax.map(lambda args: fn(args[0], args[1], params),
                        (points, mask), batch_size=chunk)
 
 
@@ -228,8 +309,17 @@ def extract_features(points, mask, params: FeatureParams = FeatureParams(),
 
 def preprocess(points, mask,
                feature_params: FeatureParams = FeatureParams(),
-               normal_params: NormalParams = NormalParams()):
-    """Full preprocessing: normals + features, as host numpy arrays."""
+               normal_params: NormalParams = NormalParams(),
+               config=None):
+    """Full preprocessing: normals + features, as host numpy arrays.
+
+    When a config is given, the nc_* keys drive the normal estimator
+    (reference normal_computation.h:12-17); feature params stay at the
+    reference's hardcoded values (slam_types.h:66-67) either way.
+    """
+    if config is not None:
+        normal_params = normal_params_from_config(
+            config, method=normal_params.method)
     normals = compute_normals(jnp.asarray(points), jnp.asarray(mask),
                               normal_params)
     planar_idx, planar_mask, edge_idx, edge_mask, scores = extract_features(

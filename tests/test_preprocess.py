@@ -93,3 +93,44 @@ class TestFeatures:
         _, planar_mask, _, edge_mask, _ = extract_features(points, mask)
         assert np.asarray(planar_mask).sum() == 0
         assert np.asarray(edge_mask).sum() == 0
+
+
+class TestHoughNormals:
+    def test_wall_normals_hough(self):
+        from nautilus_tpu.core.preprocess import NormalParams
+        pts = make_l_shape()
+        points, mask = pad(pts)
+        params = NormalParams(method="hough")
+        normals = np.asarray(compute_normals(points, mask, params))
+        m = np.asarray(mask[0])
+        on_x_wall = m & (np.abs(np.asarray(points[0])[:, 1]) < 1e-6) & (
+            np.asarray(points[0])[:, 0] > 0.5)
+        nx = normals[0][on_x_wall]
+        # Wall along x -> normal ~ (0, +-1); hough bin average within a bin
+        # width (2*pi/32 ~ 0.2 rad) of vertical.
+        assert np.all(np.abs(nx[:, 1]) > 0.98), nx[:5]
+        lens = np.linalg.norm(normals[0][m], axis=-1)
+        np.testing.assert_allclose(lens, 1.0, atol=1e-5)
+
+    def test_hough_agrees_with_pca_on_walls(self):
+        from nautilus_tpu.core.preprocess import NormalParams
+        pts = make_l_shape(noise=0.003, seed=2)
+        points, mask = pad(pts)
+        n_pca = np.asarray(compute_normals(points, mask))
+        n_hough = np.asarray(compute_normals(points, mask,
+                                             NormalParams(method="hough")))
+        m = np.asarray(mask[0])
+        # |cos| similarity between the two estimates (orientation-free).
+        dots = np.abs(np.sum(n_pca[0][m] * n_hough[0][m], axis=-1))
+        assert np.median(dots) > 0.97
+
+    def test_config_binding(self):
+        from nautilus_tpu.core.luaconf import load_config
+        from nautilus_tpu.core.preprocess import normal_params_from_config
+        from pathlib import Path
+        cfg = load_config(Path(__file__).parent.parent /
+                          "config/default_config.lua")
+        p = normal_params_from_config(cfg, method="hough")
+        assert p.bin_number == 32
+        assert p.mean_distance == 0.1
+        assert p.neighborhood_size == 0.15

@@ -46,7 +46,8 @@ def build_state(cfg, args, verbose=True):
             bag = Path.cwd() / bag
         if verbose:
             print(f"Loading bag file [{bag}] ...")
-        raw = process_bag_file(bag, cfg, verbose=verbose)
+        from nautilus_tpu.ingest.cache import load_or_ingest
+        raw = load_or_ingest(bag, cfg, verbose=verbose)
         if verbose:
             print(f"Captured {raw.points.shape[0]} nodes.")
     t0 = time.perf_counter()
@@ -91,12 +92,13 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     verbose = not args.quiet
 
-    from nautilus_tpu.core.luaconf import load_config
+    from nautilus_tpu.core.luaconf import load_config, validate_config
     from nautilus_tpu.io.poses import load_solution, write_poses
     from nautilus_tpu.io.vectorize import vectorize
     from nautilus_tpu.solve.solver import Solver
 
     cfg = load_config(args.config_file)
+    validate_config(cfg, require_bag=not args.synthetic)
     if not args.synthetic and not cfg.bag_path:
         print("Must specify an input bag!")
         return 1

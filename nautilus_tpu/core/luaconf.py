@@ -310,6 +310,30 @@ def load_config(path) -> Config:
     return Config(env, str(path))
 
 
+# Keys a run config must define (the reference fails at first CONFIG_*
+# access with an opaque Lua error; we validate up front, SURVEY.md §5
+# failure-policy note).
+REQUIRED_RUN_KEYS = (
+    "bag_path", "pose_number", "odom_topic", "lidar_topic",
+    "differential_odom", "translation_weight", "rotation_weight",
+    "max_lidar_range", "rotation_change_for_lidar",
+    "translation_change_for_lidar", "lidar_constraint_amount_min",
+    "lidar_constraint_amount_max", "outlier_threshold",
+    "hitl_line_width", "hitl_pose_point_threshold",
+)
+
+
+def validate_config(cfg: Config, require_bag: bool = True) -> None:
+    """Fail fast with every missing key listed (not one at a time)."""
+    missing = [k for k in REQUIRED_RUN_KEYS if k not in cfg]
+    if not require_bag and "bag_path" in missing:
+        missing.remove("bag_path")
+    if missing:
+        raise LuaConfigError(
+            f"Config {cfg.source} is missing required keys: "
+            f"{', '.join(missing)} (include default_config.lua)")
+
+
 def load_config_text(text: str, base_dir: Optional[Path] = None) -> Config:
     """Parse config source text directly (for tests and synthetic setups)."""
     env: Dict[str, Any] = {}

@@ -124,11 +124,20 @@ def associate_chunked(problem: SLAMProblem, x, pairs: PairList, window,
     """Chunked variant for full clouds (OptimizationType::ALL): bounds the
     [chunk, P, P] distance-matrix working set in HBM."""
     q = len(pairs.src)
+    # Pad the pair list to a chunk multiple so every chunk shares one
+    # compiled program; padded pairs are (0, 0) and masked out below.
+    q_pad = ((q + chunk - 1) // chunk) * chunk
+    src = np.zeros(q_pad, np.int32)
+    tgt = np.zeros(q_pad, np.int32)
+    src[:q] = pairs.src
+    tgt[:q] = pairs.tgt
     outs = []
-    for lo in range(0, q, chunk):
-        hi = min(lo + chunk, q)
+    for lo in range(0, q_pad, chunk):
+        hi = lo + chunk
         outs.append(associate(
-            problem, x, jnp.asarray(pairs.src[lo:hi]),
-            jnp.asarray(pairs.tgt[lo:hi]), window, outlier_threshold,
-            feature=feature, use_normal_gate=use_normal_gate))
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+            problem, x, jnp.asarray(src[lo:hi]), jnp.asarray(tgt[lo:hi]),
+            window, outlier_threshold, feature=feature,
+            use_normal_gate=use_normal_gate))
+    out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    valid_rows = jnp.arange(q_pad) < q
+    return out._replace(mask=out.mask & valid_rows[:, None])

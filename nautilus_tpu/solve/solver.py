@@ -195,6 +195,12 @@ class Solver:
                 res = lm_solve(x, graph, fixed, params=self.lm_params)
             x = res.x
             x.block_until_ready()
+            # NaN guard (replaces the reference's ceres::IsFinite CHECKs,
+            # data_structures.h:26-29): a diverged window is a hard error.
+            if not bool(jnp.all(jnp.isfinite(x))):
+                raise FloatingPointError(
+                    f"Non-finite poses after window {window}; "
+                    f"check odometry/scan inputs.")
             wall = time.perf_counter() - t0
             stats.windows.append(WindowStats(
                 window=window,

@@ -174,3 +174,48 @@ outlier_threshold=0.25
         stats = Solver(state, cfg).solve_slam()
         assert np.isfinite(stats.final_cost)
         assert stats.windows[-1].final_cost <= stats.windows[-1].initial_cost
+
+
+class TestIngestCache:
+    def test_cache_roundtrip(self, tmp_path, monkeypatch):
+        from nautilus_tpu.ingest import cache as cache_mod
+        monkeypatch.setattr(cache_mod, "cache_dir", lambda: tmp_path)
+        bag = tmp_path / "c.bag"
+        write_synthetic_bag(bag, num_nodes=6, world_kind="room",
+                            num_beams=180, seed=1)
+        cfg = load_config_text(BASE_CFG)
+        r1 = cache_mod.load_or_ingest(bag, cfg, verbose=False)
+        assert len(list(tmp_path.glob("*.npz"))) == 1
+        r2 = cache_mod.load_or_ingest(bag, cfg, verbose=False)
+        np.testing.assert_array_equal(r1.points, r2.points)
+        np.testing.assert_array_equal(r1.initial_poses, r2.initial_poses)
+
+    def test_cache_invalidated_by_config(self, tmp_path, monkeypatch):
+        from nautilus_tpu.ingest import cache as cache_mod
+        monkeypatch.setattr(cache_mod, "cache_dir", lambda: tmp_path)
+        bag = tmp_path / "c.bag"
+        write_synthetic_bag(bag, num_nodes=6, world_kind="room",
+                            num_beams=180, seed=1)
+        cfg = load_config_text(BASE_CFG)
+        cache_mod.load_or_ingest(bag, cfg, verbose=False)
+        cache_mod.load_or_ingest(bag, cfg.replace(pose_number=4.0),
+                                 verbose=False)
+        assert len(list(tmp_path.glob("*.npz"))) == 2
+
+
+class TestConfigValidation:
+    def test_missing_keys_listed(self):
+        from nautilus_tpu.core.luaconf import (LuaConfigError,
+                                               validate_config)
+        cfg = load_config_text("pose_number=5")
+        with pytest.raises(LuaConfigError) as e:
+            validate_config(cfg)
+        assert "outlier_threshold" in str(e.value)
+        assert "lidar_topic" in str(e.value)
+
+    def test_full_config_passes(self):
+        from pathlib import Path
+        from nautilus_tpu.core.luaconf import load_config, validate_config
+        cfg = load_config(Path(__file__).parent.parent /
+                          "config/gdc_2020_config.lua")
+        validate_config(cfg)

@@ -126,9 +126,17 @@ def build_hitl_factors(state: SLAMState, dtype=jnp.float32) -> HitlFactors:
     if not rows:
         from nautilus_tpu.solve.factors import empty_hitl
         return empty_hitl(dtype)
-    kmax = max(len(p) for _, _, p, _ in rows)
-    kmax = max(kmax, 1)
-    r = len(rows)
+    # Power-of-two bucketed padding so a growing constraint set causes only
+    # O(log) LM recompiles per curation session.
+    def bucket(n, lo):
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    kmax = bucket(max(max(len(p) for _, _, p, _ in rows), 1), 64)
+    r = bucket(len(rows), 8)
+    n_real_rows = len(rows)
     node = np.zeros(r, np.int32)
     line = np.zeros(r, np.int32)
     points = np.zeros((r, kmax, 2), np.float64)

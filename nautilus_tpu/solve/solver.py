@@ -61,17 +61,32 @@ class SolveStats:
         return sum(w.wall_s for w in self.windows)
 
 
-def odom_factors_from_state(state: SLAMState, dtype, tw, rw) -> OdomFactors:
-    """Active odometry factors + any loop-closure factors, with weights."""
+def odom_factors_from_state(state: SLAMState, dtype, tw, rw,
+                            pad_to: int = 256) -> OdomFactors:
+    """Active odometry factors + any loop-closure factors, with weights.
+
+    The factor count is padded to a multiple of ``pad_to`` with masked
+    entries so that HITL's solved-odometry densification (which changes the
+    count) does not force an XLA recompile of the LM program.
+    """
     i, j, trans, rot = state.odometry_factors
     parts = [make_odom_factors(i, j, trans, rot, tw, rw, dtype)]
     for (li, lj, ltrans, lrot, lwt, lwr) in state.lc_factors:
         parts.append(make_odom_factors([li], [lj], [ltrans], [lrot],
                                        lwt, lwr, dtype))
-    if len(parts) == 1:
-        return parts[0]
-    return OdomFactors(*[jnp.concatenate(cols, axis=0)
-                         for cols in zip(*parts)])
+    od = parts[0] if len(parts) == 1 else OdomFactors(
+        *[jnp.concatenate(cols, axis=0) for cols in zip(*parts)])
+    count = od.i.shape[0]
+    target = ((count + pad_to - 1) // pad_to) * pad_to
+    if target == count:
+        return od
+    pad = target - count
+    return OdomFactors(
+        i=jnp.pad(od.i, (0, pad)), j=jnp.pad(od.j, (0, pad)),
+        trans=jnp.pad(od.trans, ((0, pad), (0, 0))),
+        rot=jnp.pad(od.rot, (0, pad)),
+        mask=jnp.pad(od.mask, (0, pad)),  # False padding
+        wt=jnp.pad(od.wt, (0, pad)), wr=jnp.pad(od.wr, (0, pad)))
 
 
 class Solver:

@@ -24,6 +24,7 @@ sweep instead.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, List, Optional
 
@@ -190,7 +191,51 @@ class Solver:
         """Full growing-window solve; updates state.solution in place.
 
         The reference's SolveSLAM always optimizes FEATURE (solver.cc:363);
-        'all' is exposed for the OptimizationType::ALL path."""
+        'all' is exposed for the OptimizationType::ALL path.
+
+        When no visualizer is attached and the dense solver + FEATURE path
+        are in play, the whole sweep runs as ONE fused device program
+        (association + LM for every window inside a lax.fori_loop) — zero
+        host round-trips between windows.
+        """
+        if (self.visualizer is None and optimization_type == "feature"
+                and self.linear_solver == "dense"):
+            return self._solve_slam_fused()
+        return self._solve_slam_host_loop(optimization_type)
+
+    def _solve_slam_fused(self) -> SolveStats:
+        cfg = self.config
+        w_min = cfg.get_int("lidar_constraint_amount_min")
+        w_max = cfg.get_int("lidar_constraint_amount_max")
+        x = self._current_x()
+        fixed = self._fixed_mask()
+        problem = self.state.problem
+        odom = self._odom_factors()
+        hitl = self._hitl_factors()
+        dtype = self._dtype()
+        outlier = jnp.asarray(cfg.outlier_threshold, dtype)
+        t0 = time.perf_counter()
+        x_out, init_costs, final_costs, iters = _fused_sweep(
+            x, problem, self._pair_src, self._pair_tgt, odom, hitl, fixed,
+            outlier, w_min, w_max, self.lm_params)
+        x_out.block_until_ready()
+        wall = time.perf_counter() - t0
+        if not bool(jnp.all(jnp.isfinite(x_out))):
+            raise FloatingPointError(
+                "Non-finite poses after solve; check odometry/scan inputs.")
+        stats = SolveStats()
+        n_windows = w_max - w_min + 1
+        per = wall / n_windows
+        for k in range(n_windows):
+            stats.windows.append(WindowStats(
+                window=w_min + k,
+                initial_cost=float(init_costs[k]),
+                final_cost=float(final_costs[k]),
+                iterations=int(iters[k]), wall_s=per))
+        self._writeback(x_out)
+        return stats
+
+    def _solve_slam_host_loop(self, optimization_type: str) -> SolveStats:
         cfg = self.config
         stats = SolveStats()
         x = self._current_x()
@@ -235,3 +280,45 @@ class Solver:
         self.state.solution = host[:n]
         if len(host) > n:
             self.state.line_poses = host[n:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w_min", "w_max", "lm_params"))
+def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
+                 w_min: int, w_max: int, lm_params):
+    """OptimizeOverGrowingWindow as one device program.
+
+    The window size is a runtime value inside the fori_loop (it only enters
+    association as a pair mask), so the loop body compiles once and runs
+    w_max - w_min + 1 times entirely on device.
+    """
+    from nautilus_tpu.solve.factors import (FactorGraph,
+                                            assemble_normal_equations,
+                                            total_cost)
+    from nautilus_tpu.solve.lm import lm_loop
+
+    n = problem.num_nodes
+    n_windows = w_max - w_min + 1
+
+    def window_body(k, carry):
+        x, init_costs, final_costs, iters = carry
+        w = w_min + k
+        planar = correspond.associate(problem, x[:n], pair_src, pair_tgt,
+                                      w, outlier, feature="planar")
+        edge = correspond.associate(problem, x[:n], pair_src, pair_tgt,
+                                    w, outlier, feature="edge")
+        graph = FactorGraph(odom=odom, planar=planar, edge=edge, hitl=hitl)
+        res = lm_loop(
+            x,
+            assemble_fn=lambda xx: assemble_normal_equations(xx, graph),
+            cost_fn=lambda xx: total_cost(xx, graph),
+            fixed_dof=fixed, params=lm_params)
+        return (res.x,
+                init_costs.at[k].set(res.initial_cost),
+                final_costs.at[k].set(res.cost),
+                iters.at[k].set(res.iterations))
+
+    init = (x, jnp.zeros(n_windows, x.dtype), jnp.zeros(n_windows, x.dtype),
+            jnp.zeros(n_windows, jnp.int32))
+    x, ic, fc, it = jax.lax.fori_loop(0, n_windows, window_body, init)
+    return x, ic, fc, it

@@ -254,7 +254,7 @@ def _refine_stage(table_hi, src_points, src_mask, thetas, res, halfwidth,
 
 
 def csm_match_batch(clouds_a, masks_a, clouds_b, masks_b,
-                    params: CSMParams = CSMParams(), chunk: int = 4):
+                    params: CSMParams = CSMParams(), chunk: int = 8):
     """Batched matching over candidate pairs (loop-closure workload)."""
     f = jax.vmap(lambda a, ma, b, mb: csm_match(a, ma, b, mb, params))
     outs = []

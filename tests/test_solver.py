@@ -210,3 +210,57 @@ class TestEndToEnd:
             if expect_valid:
                 np.testing.assert_allclose(np.asarray(corr.tgt_pts)[q, a],
                                            tp[nn], atol=1e-6)
+
+
+class TestAllMode:
+    def test_all_optimization_type(self):
+        """OptimizationType::ALL path (full clouds -> point residuals)."""
+        state, gt = make_problem(num_nodes=6, world_kind="room",
+                                 num_beams=180, seed=7,
+                                 odom_noise_trans=0.02, odom_noise_rot=0.01)
+        cfg = load_config_text(DEFAULTS).replace(
+            lidar_constraint_amount_max=2.0)
+        solver = Solver(state, cfg)
+        stats = solver.solve_slam(optimization_type="all")
+        assert np.isfinite(stats.final_cost)
+        last = stats.windows[-1]
+        assert last.final_cost <= last.initial_cost
+
+
+class TestGradients:
+    def test_residual_gradients_match_finite_differences(self, rng):
+        """jacfwd through every residual matches central differences."""
+        from nautilus_tpu.solve.factors import hitl_residual
+        ps = jnp.asarray(rng.normal(size=3))
+        pt = jnp.asarray(rng.normal(size=3))
+        pts = jnp.asarray(rng.normal(size=(3, 2)))
+        tgt = jnp.asarray(rng.normal(size=(3, 2)))
+        nrm = jnp.asarray(rng.normal(size=(3, 2)))
+        mask = jnp.array([True, True, False])
+        seg_a = jnp.array([0.0, 0.0])
+        seg_b = jnp.array([2.0, 1.0])
+
+        cases = [
+            (lambda a, b: odom_residual(a, b, jnp.asarray([0.3, -0.1]),
+                                        jnp.asarray(0.2), jnp.array(True),
+                                        1.5, 2.5)),
+            (lambda a, b: point_residual(a, b, pts, tgt, mask).ravel()),
+            (lambda a, b: normal_residual(a, b, pts, tgt, nrm, nrm,
+                                          mask).ravel()),
+            (lambda a, b: hitl_residual(a, b, pts, mask, seg_a, seg_b)),
+        ]
+        eps = 1e-3
+        for f in cases:
+            for argnum in (0, 1):
+                J = np.asarray(jax.jacfwd(f, argnum)(ps, pt))
+                for d in range(3):
+                    delta = np.zeros(3)
+                    delta[d] = eps
+                    if argnum == 0:
+                        hi = np.asarray(f(ps + delta, pt))
+                        lo = np.asarray(f(ps - delta, pt))
+                    else:
+                        hi = np.asarray(f(ps, pt + delta))
+                        lo = np.asarray(f(ps, pt - delta))
+                    fd = (hi - lo) / (2 * eps)
+                    np.testing.assert_allclose(J[..., d], fd, atol=3e-3)

@@ -122,3 +122,107 @@ def sharded_lm_solve(x0, graph: FactorGraph, fixed_dof, mesh: Mesh,
 def default_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()[: (n_devices or len(jax.devices()))]
     return Mesh(np.asarray(devs), axis_names=("factors",))
+
+
+# ---------------------------------------------------------------------------
+# Fully sharded growing-window sweep: association + assembly + LM, one
+# shard_map program.
+# ---------------------------------------------------------------------------
+
+def _pad_to_multiple(arr, mult: int, axis: int = 0):
+    n = arr.shape[axis]
+    target = ((n + mult - 1) // mult) * mult if n else mult
+    if target == n:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, target - n)
+    return jnp.pad(arr, widths)
+
+
+def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
+                  outlier, w_min: int, w_max: int, mesh: Mesh,
+                  lm_params: LMParams = LMParams()):
+    """The full OptimizeOverGrowingWindow, multi-chip.
+
+    Everything per-factor is sharded over the 'factors' mesh axis:
+    - the correspondence pair list (association runs locally per shard —
+      problem arrays are replicated, gathers are local),
+    - odometry + HITL factor lists,
+    and each LM step all-reduces (H, g, cost) with one psum.  The damped
+    Cholesky and pose update run replicated.  Returns (x, initial_costs,
+    final_costs, iterations) like solver._fused_sweep.
+    """
+    from nautilus_tpu.solve import correspond
+    from nautilus_tpu.solve.factors import FactorGraph
+
+    num = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    q = pair_src.shape[0]
+    pair_src_p = _pad_to_multiple(jnp.asarray(pair_src), num)
+    pair_tgt_p = _pad_to_multiple(jnp.asarray(pair_tgt), num)
+    # Padded pairs are (0, 0): src == tgt fails the (src - tgt) <= w window
+    # test only when both are 0... mask them explicitly via a validity row.
+    pair_valid = _pad_to_multiple(jnp.ones(q, bool), num) & (
+        jnp.arange(pair_src_p.shape[0]) < q)
+    odom_p = type(odom)(*[_pad_to_multiple(jnp.asarray(a), num)
+                          for a in odom])
+    hitl_p = type(hitl)(*[_pad_to_multiple(jnp.asarray(a), num)
+                          for a in hitl])
+
+    shard = NamedSharding(mesh, P("factors"))
+    repl = NamedSharding(mesh, P())
+    pair_src_p = jax.device_put(pair_src_p, shard)
+    pair_tgt_p = jax.device_put(pair_tgt_p, shard)
+    pair_valid = jax.device_put(pair_valid, shard)
+    odom_p = jax.device_put(odom_p, jax.tree.map(lambda _: shard, odom_p))
+    hitl_p = jax.device_put(hitl_p, jax.tree.map(lambda _: shard, hitl_p))
+    x = jax.device_put(x, repl)
+    fixed_dof = jax.device_put(fixed_dof, repl)
+    problem = jax.device_put(problem, jax.tree.map(lambda _: repl, problem))
+
+    n = problem.num_nodes
+    n_windows = w_max - w_min + 1
+    dtype = x.dtype
+    outlier = jnp.asarray(outlier, dtype)
+
+    fspec = lambda tree: jax.tree.map(lambda _: P("factors"), tree)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), jax.tree.map(lambda _: P(), problem), P("factors"),
+                  P("factors"), P("factors"), fspec(odom_p), fspec(hitl_p),
+                  P(), P()),
+        out_specs=(P(), P(), P(), P()), check_vma=False)
+    def run(x, problem, psrc, ptgt, pvalid, odom_l, hitl_l, fixed, outlier):
+        def assemble_psum(graph):
+            def f(xx):
+                H, g, cost = assemble_normal_equations(xx, graph)
+                return (jax.lax.psum(H, "factors"),
+                        jax.lax.psum(g, "factors"),
+                        jax.lax.psum(cost, "factors"))
+            return f
+
+        def cost_psum(graph):
+            return lambda xx: jax.lax.psum(total_cost(xx, graph), "factors")
+
+        def window_body(k, carry):
+            x, ic, fc, it = carry
+            w = w_min + k
+            planar = correspond.associate(problem, x[:n], psrc, ptgt, w,
+                                          outlier, feature="planar")
+            planar = planar._replace(mask=planar.mask & pvalid[:, None])
+            edge = correspond.associate(problem, x[:n], psrc, ptgt, w,
+                                        outlier, feature="edge")
+            edge = edge._replace(mask=edge.mask & pvalid[:, None])
+            graph = FactorGraph(odom=odom_l, planar=planar, edge=edge,
+                                hitl=hitl_l)
+            res = lm_loop(x, assemble_psum(graph), cost_psum(graph), fixed,
+                          lm_params)
+            return (res.x, ic.at[k].set(res.initial_cost),
+                    fc.at[k].set(res.cost), it.at[k].set(res.iterations))
+
+        init = (x, jnp.zeros(n_windows, dtype), jnp.zeros(n_windows, dtype),
+                jnp.zeros(n_windows, jnp.int32))
+        return jax.lax.fori_loop(0, n_windows, window_body, init)
+
+    return jax.jit(run)(x, problem, pair_src_p, pair_tgt_p, pair_valid,
+                        odom_p, hitl_p, fixed_dof, outlier)

@@ -70,6 +70,24 @@ def main():
     jax.block_until_ready(res)
     scan_match_pairs_per_s = n_pairs / (time.perf_counter() - t0)
 
+    # --- HITL curation step (the headline gdc workload): one scripted
+    # colinearity constraint -> selection + densified odometry + 2 solves.
+    from nautilus_tpu.io.checkpoint import save_state  # noqa: F401 (API smoke)
+    from nautilus_tpu.solve.hitl import HitlSlamInputMsg, hitl_callback
+    hitl_cfg = cfg.replace(hitl_line_width=0.3)
+    solver.config = hitl_cfg
+    msg = HitlSlamInputMsg.from_points((-19, -15), (19, -15),
+                                       (-19, -14.5), (19, -14.5))
+    t0 = time.perf_counter()
+    hitl_callback(solver, msg, verbose=False)
+    hitl_wall = time.perf_counter() - t0
+    # Restore pre-HITL state for the CPU comparison below.
+    state.solution = x_tpu.copy()
+    state.hitl_constraints.clear()
+    state.line_poses = state.line_poses[:0]
+    state.odometry_factors = state.initial_odometry_factors
+    solver.config = cfg
+
     # --- CPU reference engine.
     if args.skip_cpu:
         cpu_wall = float("nan")
@@ -106,6 +124,7 @@ def main():
         "final_cost_cpu": round(cost_cpu, 4) if cost_cpu == cost_cpu else None,
         "cost_parity_pct": round(parity_pct, 3) if parity_pct == parity_pct else None,
         "scan_match_pairs_per_s": round(scan_match_pairs_per_s, 1),
+        "hitl_callback_s": round(hitl_wall, 2),
     }))
     return 0
 

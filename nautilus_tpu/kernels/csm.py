@@ -253,14 +253,16 @@ def _refine_stage(table_hi, src_points, src_mask, thetas, res, halfwidth,
     return scores, (ty, tx)                                  # [R, win, win]
 
 
+@functools.partial(jax.jit, static_argnames=("params", "inner_batch"))
 def csm_match_batch(clouds_a, masks_a, clouds_b, masks_b,
-                    params: CSMParams = CSMParams(), chunk: int = 8):
-    """Batched matching over candidate pairs (loop-closure workload)."""
-    f = jax.vmap(lambda a, ma, b, mb: csm_match(a, ma, b, mb, params))
-    outs = []
-    q = clouds_a.shape[0]
-    for lo in range(0, q, chunk):
-        hi = min(lo + chunk, q)
-        outs.append(f(clouds_a[lo:hi], masks_a[lo:hi], clouds_b[lo:hi],
-                      masks_b[lo:hi]))
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+                    params: CSMParams = CSMParams(), inner_batch: int = 2):
+    """Batched matching over candidate pairs (loop-closure workload).
+
+    One jitted program (single dispatch through the runtime) that maps over
+    pairs with a small inner vmap width: the per-pair high-res lookup
+    tables are the memory hog (~250 MB at 1 cm over a 28 m extent), so wide
+    vmaps exceed HBM at compile time.
+    """
+    return jax.lax.map(
+        lambda args: csm_match(*args, params=params),
+        (clouds_a, masks_a, clouds_b, masks_b), batch_size=inner_batch)

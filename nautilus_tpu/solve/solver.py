@@ -135,7 +135,13 @@ class Solver:
 
     def _odom_factors(self) -> OdomFactors:
         """Device odometry factors, cached across the window sweep (the
-        factor list only changes on HITL/LC events)."""
+        factor list only changes on HITL/LC events).
+
+        Padded to the session's high-water-mark bucket so that e.g. the
+        HITL flow's second solve (back to sparse odometry) reuses the
+        program compiled for the densified first solve — masked padding
+        costs ~nothing next to the lidar residuals.
+        """
         key = (id(self.state.odometry_factors), len(self.state.lc_factors))
         cached = getattr(self, "_odom_cache", None)
         if cached is not None and cached[0] == key:
@@ -144,6 +150,17 @@ class Solver:
         odom = odom_factors_from_state(self.state, self._dtype(),
                                        cfg.translation_weight,
                                        cfg.rotation_weight)
+        hwm = max(getattr(self, "_odom_bucket", 0), odom.i.shape[0])
+        self._odom_bucket = hwm
+        if odom.i.shape[0] < hwm:
+            pad = hwm - odom.i.shape[0]
+            odom = OdomFactors(
+                i=jnp.pad(odom.i, (0, pad)), j=jnp.pad(odom.j, (0, pad)),
+                trans=jnp.pad(odom.trans, ((0, pad), (0, 0))),
+                rot=jnp.pad(odom.rot, (0, pad)),
+                mask=jnp.pad(odom.mask, (0, pad)),
+                wt=jnp.pad(odom.wt, (0, pad)),
+                wr=jnp.pad(odom.wr, (0, pad)))
         self._odom_cache = (key, odom)
         return odom
 

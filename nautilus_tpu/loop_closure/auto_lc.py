@@ -104,8 +104,44 @@ def _dump_pair_image(state, s: int, t: int, transform: np.ndarray,
     plt.close(fig)
 
 
+def best_scan_match(state, source: int, scans, params: CSMParams = CSMParams()):
+    """Best CSM match for one scan among candidates
+    (reference Solver::BestScanMatch, solver.h:95-96).
+
+    Returns (best_score, best_scan_index, transform)."""
+    import jax.numpy as jnp
+    scans = [s for s in scans if s != source]
+    if not scans:
+        return float("-inf"), -1, np.zeros(3)
+    pts = state.problem.points
+    msk = state.problem.points_mask
+    ss = np.full(len(scans), source)
+    tt = np.asarray(scans)
+    scores, transforms = csm_match_batch(pts[ss], msk[ss], pts[tt], msk[tt],
+                                         params)
+    scores = np.asarray(scores)
+    k = int(np.argmax(scores))
+    return float(scores[k]), int(scans[k]), np.asarray(transforms[k])
+
+
+def descriptor_gate(state, pairs, threshold: float):
+    """Optional scan-descriptor pre-gate (the reference's
+    match_laser_scans service role; threshold = config lc_match_threshold).
+    Returns the subset of pairs whose rotation-invariant descriptor
+    similarity passes the threshold."""
+    from nautilus_tpu.loop_closure.learned import match_score
+    pts = state.problem.points
+    msk = state.problem.points_mask
+    kept = []
+    for s, t in pairs:
+        if float(match_score(pts[s], msk[s], pts[t], msk[t])) >= threshold:
+            kept.append((s, t))
+    return kept
+
+
 def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
-                  csm_params: CSMParams = None) -> AutoLCReport:
+                  csm_params: CSMParams = None,
+                  use_descriptor_gate: bool = False) -> AutoLCReport:
     """Full auto-LC pass over the solver's state."""
     state = solver.state
     cfg = solver.config
@@ -137,6 +173,13 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     if verbose:
         print(f"Auto-LC: {len(report.gated_pairs)} pairs pass the "
               f"chi-square gate.")
+    if use_descriptor_gate and report.gated_pairs:
+        report.gated_pairs = descriptor_gate(
+            state, report.gated_pairs, float(cfg.get("lc_match_threshold",
+                                                     0.5)))
+        if verbose:
+            print(f"Auto-LC: {len(report.gated_pairs)} pairs pass the "
+                  f"descriptor gate.")
     if not report.gated_pairs:
         return report
 

@@ -165,3 +165,32 @@ class TestAutoLC:
         if report.accepted:
             assert report.applied
             assert len(state.lc_factors) == len(report.accepted)
+
+
+class TestBestScanMatch:
+    def test_best_match_is_overlapping_scan(self):
+        from nautilus_tpu.loop_closure.auto_lc import best_scan_match
+        state, gt = make_problem(num_nodes=30, world_kind="office",
+                                 num_beams=360, seed=9)
+        # Candidates: a neighbor (overlapping view) and a far node.
+        score, best, tr = best_scan_match(
+            state, 5, [6, 25], CSMParams(scan_range=10.0, high_res=0.05))
+        assert best == 6
+        assert np.isfinite(score)
+
+    def test_empty_candidates(self):
+        from nautilus_tpu.loop_closure.auto_lc import best_scan_match
+        state, _ = make_problem(num_nodes=4, world_kind="room", num_beams=180)
+        score, best, tr = best_scan_match(state, 1, [1])
+        assert best == -1
+
+
+class TestDescriptorGate:
+    def test_gate_keeps_similar_pairs(self):
+        from nautilus_tpu.loop_closure.auto_lc import descriptor_gate
+        state, _ = make_problem(num_nodes=30, world_kind="office",
+                                num_beams=360, seed=9)
+        kept = descriptor_gate(state, [(5, 6), (5, 25)], threshold=0.8)
+        assert (5, 6) in kept  # neighbors see nearly the same scene
+        loose = descriptor_gate(state, [(5, 6), (5, 25)], threshold=0.0)
+        assert len(loose) == 2

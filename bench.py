@@ -55,7 +55,6 @@ def main():
 
     # --- Scan-match throughput (BASELINE.md tracked metric: pairs/sec).
     import jax
-    import jax.numpy as jnp
     from nautilus_tpu.kernels.csm import CSMParams, csm_match_batch
     pts = state.problem.points
     msk = state.problem.points_mask

@@ -24,13 +24,10 @@ import sys
 import time
 from pathlib import Path
 
-import numpy as np
-
 
 def build_state(cfg, args, verbose=True):
     from nautilus_tpu.core.preprocess import preprocess
     from nautilus_tpu.core.problem import SLAMState, build_problem
-    from nautilus_tpu.ingest.builder import process_bag_file
 
     if args.synthetic:
         from nautilus_tpu.ingest.synthetic import synthesize

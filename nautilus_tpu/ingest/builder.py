@@ -31,13 +31,13 @@ Faithful host-side replication of the reference ingest semantics
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
 from nautilus_tpu.core.problem import RawNodes, pad_clouds
-from nautilus_tpu.ingest.rosbag import (BagMessage, CobotOdometryMsg,
-                                        LaserScanMsg, OdometryMsg, read_bag)
+from nautilus_tpu.ingest.rosbag import (CobotOdometryMsg, LaserScanMsg,
+                                        OdometryMsg, read_bag)
 
 TRUNCATION_SIZE = 55
 

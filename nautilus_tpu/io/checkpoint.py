@@ -10,8 +10,6 @@ interchange format with the reference.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 
 from nautilus_tpu.core.problem import SLAMState

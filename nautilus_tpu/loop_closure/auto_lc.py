@@ -24,7 +24,6 @@ import dataclasses
 from typing import List, Tuple
 
 import numpy as np
-import jax.numpy as jnp
 
 from nautilus_tpu.kernels.csm import CSMParams, csm_match_batch
 from nautilus_tpu.loop_closure.candidate import get_lc_candidates
@@ -109,7 +108,6 @@ def best_scan_match(state, source: int, scans, params: CSMParams = CSMParams()):
     (reference Solver::BestScanMatch, solver.h:95-96).
 
     Returns (best_score, best_scan_index, transform)."""
-    import jax.numpy as jnp
     scans = [s for s in scans if s != source]
     if not scans:
         return float("-inf"), -1, np.zeros(3)

@@ -17,7 +17,6 @@ from typing import List
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from nautilus_tpu.core import geometry as geo
 from nautilus_tpu.core.problem import SLAMState

@@ -26,16 +26,16 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from nautilus_tpu.core.problem import SLAMProblem, SLAMState
+from nautilus_tpu.core.problem import SLAMState
 from nautilus_tpu.solve import correspond
-from nautilus_tpu.solve.factors import (Correspondences, FactorGraph,
-                                        HitlFactors, OdomFactors, empty_hitl,
+from nautilus_tpu.solve.factors import (FactorGraph, HitlFactors,
+                                        OdomFactors, empty_hitl,
                                         make_odom_factors)
 from nautilus_tpu.solve.lm import LMParams, LMResult, lm_solve
 

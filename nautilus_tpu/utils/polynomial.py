@@ -10,7 +10,7 @@ Both return the number of real roots and write roots in ascending order.
 from __future__ import annotations
 
 import math
-from typing import List, Tuple
+from typing import List
 
 
 def solve_quadratic(a: float, b: float, c: float) -> List[float]:

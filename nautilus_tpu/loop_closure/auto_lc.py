@@ -154,6 +154,10 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     report.candidates = candidates
     if verbose:
         print(f"Auto-LC: {len(candidates)} candidate scans.")
+    if solver.visualizer is not None:
+        # Reference SolveAutoLC visualizes the candidate scans
+        # (solver.cc:679) and per-match covariances (solver.cc:697).
+        solver.visualizer.draw_scans(state, candidates)
     if len(candidates) < 2:
         return report
 
@@ -171,6 +175,10 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     if verbose:
         print(f"Auto-LC: {len(report.gated_pairs)} pairs pass the "
               f"chi-square gate.")
+    if solver.visualizer is not None and report.gated_pairs:
+        covs = [(t, matcher.chi_square_score(s, t)[0])
+                for s, t in report.gated_pairs]
+        solver.visualizer.draw_covariances(covs)
     if use_descriptor_gate and report.gated_pairs:
         report.gated_pairs = descriptor_gate(
             state, report.gated_pairs, float(cfg.get("lc_match_threshold",

@@ -288,6 +288,10 @@ class Solver:
             if self.visualizer is not None:
                 self._writeback(x)
                 self.visualizer.draw_solution(self.state, window=window)
+                # Reference draws correspondences per pair as it builds the
+                # problem (solver.cc:304,309); here once per window.
+                self.visualizer.draw_correspondence(graph.planar)
+                self.visualizer.draw_correspondence(graph.edge)
         self._writeback(x)
         return stats
 

@@ -85,8 +85,23 @@ class SnapshotVisualizer(SolverVisualizer):
         self.snapshots: List[Snapshot] = []
         self.lc_scans: List[List[int]] = []
         self.covariances: list = []
+        self.correspondences: list = []
         if self.output_dir:
             self.output_dir.mkdir(parents=True, exist_ok=True)
+
+    def draw_correspondence(self, correspondences) -> None:
+        """Record match endpoints (the /nautilus/correspondences line-list
+        content, solver_vis_ros.cc:140-164): masked (source, target) point
+        pairs with their node indices, in sensor frames."""
+        mask = np.asarray(correspondences.mask)
+        if mask.size == 0:
+            return
+        q, s = np.nonzero(mask)
+        self.correspondences.append(dict(
+            src_node=np.asarray(correspondences.src)[q],
+            tgt_node=np.asarray(correspondences.tgt)[q],
+            src_pts=np.asarray(correspondences.src_pts)[q, s],
+            tgt_pts=np.asarray(correspondences.tgt_pts)[q, s]))
 
     def draw_solution(self, state, window: Optional[int] = None) -> None:
         snap = Snapshot(window=window, poses=state.solution.copy())

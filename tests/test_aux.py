@@ -130,3 +130,33 @@ class TestVectorize:
         rows = out.read_text().strip().splitlines()
         assert len(rows) == len(lines)
         assert all(len(r.split(",")) == 4 for r in rows)
+
+
+class TestCorrespondenceViz:
+    def test_correspondences_recorded(self):
+        state, _ = make_problem(num_nodes=6, world_kind="room", num_beams=360)
+        cfg = load_config_text(CFG)
+        vis = SnapshotVisualizer(record_clouds=False)
+        Solver(state, cfg, visualizer=vis).solve_slam()
+        assert len(vis.correspondences) > 0
+        rec = vis.correspondences[0]
+        assert rec["src_pts"].shape == rec["tgt_pts"].shape
+        assert len(rec["src_node"]) == len(rec["src_pts"])
+
+    def test_auto_lc_draws_scans(self):
+        from nautilus_tpu.loop_closure.auto_lc import solve_auto_lc
+        from nautilus_tpu.kernels.csm import CSMParams
+        state, _ = make_problem(num_nodes=20, world_kind="building",
+                                num_beams=360, seed=8)
+        cfg = load_config_text(CFG + """
+lc_translation_weight=1
+lc_rotation_weight=1
+csm_score_threshold=-5.0
+max_lidar_range=10
+""")
+        vis = SnapshotVisualizer(record_clouds=False)
+        solver = Solver(state, cfg, visualizer=vis)
+        solver.solve_slam()
+        solve_auto_lc(solver, apply=False, verbose=False,
+                      csm_params=CSMParams(scan_range=10.0, high_res=0.05))
+        assert len(vis.lc_scans) == 1

@@ -320,9 +320,22 @@ def preprocess(points, mask,
     if config is not None:
         normal_params = normal_params_from_config(
             config, method=normal_params.method)
-    normals = compute_normals(jnp.asarray(points), jnp.asarray(mask),
-                              normal_params)
+    # Bucket the scan count to a multiple of the chunk size: with P already
+    # lane-padded (multiples of 128), the set of compiled (chunk, P) shapes
+    # stays tiny, so the persistent compile cache nearly always hits —
+    # XLA compile latency in this environment is wildly variable, so fresh
+    # shapes are expensive.
+    chunk = 64
+    n = points.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    pts = np.zeros((n_pad,) + points.shape[1:], np.float32)
+    msk = np.zeros((n_pad,) + mask.shape[1:], bool)
+    pts[:n] = points
+    msk[:n] = mask
+    normals = compute_normals(jnp.asarray(pts), jnp.asarray(msk),
+                              normal_params, chunk=chunk)
     planar_idx, planar_mask, edge_idx, edge_mask, scores = extract_features(
-        jnp.asarray(points), jnp.asarray(mask), feature_params)
-    return (np.asarray(normals), np.asarray(planar_idx), np.asarray(planar_mask),
-            np.asarray(edge_idx), np.asarray(edge_mask), np.asarray(scores))
+        jnp.asarray(pts), jnp.asarray(msk), feature_params, chunk=chunk)
+    return (np.asarray(normals[:n]), np.asarray(planar_idx[:n]),
+            np.asarray(planar_mask[:n]), np.asarray(edge_idx[:n]),
+            np.asarray(edge_mask[:n]), np.asarray(scores[:n]))

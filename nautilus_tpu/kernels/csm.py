@@ -152,24 +152,34 @@ def _argmax3(scores):
     return r, rem // scores.shape[2], rem % scores.shape[2]
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def csm_match(cloud_a, mask_a, cloud_b, mask_b,
-              params: CSMParams = CSMParams()) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Find the rigid transform aligning cloud_a onto cloud_b.
+def _stage_resolutions(params: CSMParams):
+    mid_res = max(params.high_res * 5.0, params.high_res)
+    return [params.low_res, mid_res, params.high_res]
 
-    Returns (score, [tx, ty, theta]): applying R(theta) then translation to
-    cloud_a points best overlays them on cloud_b (both in sensor frames) —
-    the contract of the reference's GetTransformation.
-    Score is mean log-occupancy per valid source point (higher = better).
-    """
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def build_tables(cloud_b, mask_b, params: CSMParams = CSMParams()):
+    """Smeared log-occupancy lookup tables at all pyramid resolutions.
+
+    The per-TARGET half of the matcher; amortize over many sources with
+    csm_match_to_tables (the reference builds its lookup tables per
+    GetTransformation call — grouping by target is a freebie of the
+    functional split)."""
+    halfwidth = params.table_halfwidth
+    return tuple(
+        _smear_log_table(
+            _raster(cloud_b, mask_b, halfwidth, res, params.table_cells(res)),
+            res, max(params.sigma, res * 0.5))
+        for res in _stage_resolutions(params))
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def csm_match_to_tables(tables, cloud_a, mask_a,
+                        params: CSMParams = CSMParams()):
+    """Match one source cloud against prebuilt target tables."""
     halfwidth = params.table_halfwidth
     n_valid = jnp.maximum(jnp.sum(mask_a.astype(jnp.float32)), 1.0)
-
-    # ---- coarse stage: full +-trans_range x +-rotation_restriction ----
-    table_lo = _smear_log_table(
-        _raster(cloud_b, mask_b, halfwidth, params.low_res,
-                params.table_cells(params.low_res)),
-        params.low_res, max(params.sigma, params.low_res * 0.5))
+    table_lo, table_mid, table_hi = tables
     rot_step_lo = params.low_res / params.scan_range
     n_rot = max(int(np.ceil(2 * params.rotation_restriction / rot_step_lo)), 1)
     thetas_lo = (-params.rotation_restriction
@@ -188,21 +198,18 @@ def csm_match(cloud_a, mask_a, cloud_b, mask_b,
     # Each stage narrows translation to +-1 previous cell and rotation to
     # +- half the previous rotation step, so the total gather count stays
     # ~2M per pair instead of the ~125M a single 0.3 -> 0.01 jump needs.
-    mid_res = max(params.high_res * 5.0, params.high_res)
+    _, mid_res, _ = _stage_resolutions(params)
     stages = [
-        # (res, rot_step, prev_res, prev_rot_step)
-        (mid_res, mid_res / params.scan_range, params.low_res, rot_step_lo),
-        (params.high_res, params.high_res / params.scan_range, mid_res,
-         mid_res / params.scan_range),
+        # (table, res, rot_step, prev_res, prev_rot_step)
+        (table_mid, mid_res, mid_res / params.scan_range, params.low_res,
+         rot_step_lo),
+        (table_hi, params.high_res, params.high_res / params.scan_range,
+         mid_res, mid_res / params.scan_range),
     ]
     theta = theta0
     tx, ty = tx0, ty0
     best = scores_lo[r0, oy0, ox0]
-    for res, rot_step, prev_res, prev_rot_step in stages:
-        cells = params.table_cells(res)
-        table = _smear_log_table(
-            _raster(cloud_b, mask_b, halfwidth, res, cells),
-            res, max(params.sigma, res * 0.5))
+    for table, res, rot_step, prev_res, prev_rot_step in stages:
         n_rot = min(max(int(np.ceil(prev_rot_step / rot_step)) | 1, 1), 9)
         thetas = theta + (jnp.arange(n_rot) - n_rot // 2) * rot_step
         offset_cells = int(round(prev_res / res))
@@ -214,6 +221,55 @@ def csm_match(cloud_a, mask_a, cloud_b, mask_b,
         tx = t_grid[1][ox1]
         best = scores[r1, oy1, ox1]
     return best / n_valid, jnp.stack([tx, ty, theta])
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def csm_match(cloud_a, mask_a, cloud_b, mask_b,
+              params: CSMParams = CSMParams()) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Find the rigid transform aligning cloud_a onto cloud_b.
+
+    Returns (score, [tx, ty, theta]): applying R(theta) then translation to
+    cloud_a points best overlays them on cloud_b (both in sensor frames) —
+    the contract of the reference's GetTransformation.
+    Score is mean log-occupancy per valid source point (higher = better).
+    """
+    return csm_match_to_tables(build_tables(cloud_b, mask_b, params),
+                               cloud_a, mask_a, params)
+
+
+def csm_match_grouped(points, masks, src_idx, tgt_idx,
+                      params: CSMParams = CSMParams()):
+    """Pair matching grouped by target: tables built once per unique target.
+
+    points [N, P, 2], masks [N, P]; src_idx/tgt_idx are host int arrays.
+    Returns (scores [Q], transforms [Q, 3]) aligned with the input pairs.
+    """
+    src_idx = np.asarray(src_idx)
+    tgt_idx = np.asarray(tgt_idx)
+    q = len(src_idx)
+    scores = np.zeros(q, np.float32)
+    transforms = np.zeros((q, 3), np.float32)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def match_many(tables, A, MA):
+        return jax.lax.map(
+            lambda am: csm_match_to_tables(tables, am[0], am[1], params),
+            (A, MA), batch_size=2)
+
+    for t in np.unique(tgt_idx):
+        rows = np.nonzero(tgt_idx == t)[0]
+        # Power-of-two group padding (repeat row 0) so group-size variety
+        # doesn't churn compiled shapes.
+        g = 2
+        while g < len(rows):
+            g *= 2
+        padded = np.concatenate([rows, np.full(g - len(rows), rows[0])])
+        tables = build_tables(points[int(t)], masks[int(t)], params)
+        s, tr = match_many(tables, points[src_idx[padded]],
+                           masks[src_idx[padded]])
+        scores[rows] = np.asarray(s)[:len(rows)]
+        transforms[rows] = np.asarray(tr)[:len(rows)]
+    return scores, transforms
 
 
 def _refine_stage(table_hi, src_points, src_mask, thetas, res, halfwidth,

@@ -25,7 +25,8 @@ from typing import List, Tuple
 
 import numpy as np
 
-from nautilus_tpu.kernels.csm import CSMParams, csm_match_batch
+from nautilus_tpu.kernels.csm import (CSMParams, csm_match_batch,
+                                      csm_match_grouped)
 from nautilus_tpu.loop_closure.candidate import get_lc_candidates
 from nautilus_tpu.loop_closure.matcher import LCMatcher
 
@@ -189,14 +190,13 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     if not report.gated_pairs:
         return report
 
-    # Batched CSM over gated pairs.
+    # CSM over gated pairs, grouped by target so lookup tables amortize.
     params = csm_params or _csm_params_from_config(cfg)
     pts = state.problem.points
     msk = state.problem.points_mask
     ss = np.array([p[0] for p in report.gated_pairs])
     tt = np.array([p[1] for p in report.gated_pairs])
-    scores, transforms = csm_match_batch(pts[ss], msk[ss], pts[tt], msk[tt],
-                                         params)
+    scores, transforms = csm_match_grouped(pts, msk, ss, tt, params)
     scores = np.asarray(scores)
     transforms = np.asarray(transforms, np.float64)
     threshold = float(cfg.csm_score_threshold)

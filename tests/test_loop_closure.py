@@ -194,3 +194,20 @@ class TestDescriptorGate:
         assert (5, 6) in kept  # neighbors see nearly the same scene
         loose = descriptor_gate(state, [(5, 6), (5, 25)], threshold=0.0)
         assert len(loose) == 2
+
+
+class TestGroupedCSM:
+    def test_grouped_matches_batch(self):
+        from nautilus_tpu.kernels.csm import csm_match_batch, csm_match_grouped
+        state, _ = make_problem(num_nodes=12, world_kind="office",
+                                num_beams=360, seed=9)
+        pts = state.problem.points
+        msk = state.problem.points_mask
+        src = np.array([1, 2, 3, 5, 6])
+        tgt = np.array([0, 0, 0, 4, 4])   # grouped targets
+        params = CSMParams(scan_range=10.0, high_res=0.05)
+        s_g, t_g = csm_match_grouped(pts, msk, src, tgt, params)
+        s_b, t_b = csm_match_batch(pts[src], msk[src], pts[tgt], msk[tgt],
+                                   params)
+        np.testing.assert_allclose(s_g, np.asarray(s_b), rtol=1e-5)
+        np.testing.assert_allclose(t_g, np.asarray(t_b), atol=1e-5)

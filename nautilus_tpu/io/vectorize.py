@@ -99,6 +99,65 @@ def extract_lines(points: np.ndarray, inlier_threshold: float = 0.04,
     return segments
 
 
+def merge_colinear(segments, angle_tol: float = 0.05,
+                   lateral_tol: float = 0.08, gap_tol: float = 0.5):
+    """Merge near-colinear, overlapping/adjacent segments.
+
+    Sequential RANSAC can emit several pieces of one wall (and near-duplicate
+    lines from leftover points); this joins segments whose directions agree
+    within angle_tol (radians), whose lateral offset is within lateral_tol,
+    and whose extents overlap or come within gap_tol of each other.
+    """
+    segs = [(np.asarray(a, np.float64), np.asarray(b, np.float64))
+            for a, b in segments]
+    merged = True
+    while merged:
+        merged = False
+        out = []
+        used = [False] * len(segs)
+        for i in range(len(segs)):
+            if used[i]:
+                continue
+            a1, b1 = segs[i]
+            d1 = b1 - a1
+            len1 = np.linalg.norm(d1)
+            if len1 < 1e-9:
+                used[i] = True
+                continue
+            u1 = d1 / len1
+            for j in range(i + 1, len(segs)):
+                if used[j]:
+                    continue
+                a2, b2 = segs[j]
+                d2 = b2 - a2
+                len2 = np.linalg.norm(d2)
+                if len2 < 1e-9:
+                    used[j] = True
+                    continue
+                u2 = d2 / len2
+                if abs(abs(u1 @ u2) - 1.0) > angle_tol ** 2 / 2 and \
+                        np.arccos(min(abs(u1 @ u2), 1.0)) > angle_tol:
+                    continue
+                n1 = np.array([-u1[1], u1[0]])
+                if max(abs((a2 - a1) @ n1), abs((b2 - a1) @ n1)) > lateral_tol:
+                    continue
+                t_vals = [0.0, len1, (a2 - a1) @ u1, (b2 - a1) @ u1]
+                lo2, hi2 = sorted(t_vals[2:])
+                if lo2 > len1 + gap_tol or hi2 < -gap_tol:
+                    continue
+                t_min, t_max = min(t_vals), max(t_vals)
+                a1, b1 = a1 + t_min * u1, a1 + t_max * u1
+                d1 = b1 - a1
+                len1 = np.linalg.norm(d1)
+                u1 = d1 / len1
+                used[j] = True
+                merged = True
+            used[i] = True
+            out.append((a1, b1))
+        segs = out
+    return segs
+
+
 def fused_cloud(state) -> np.ndarray:
     """All clouds transformed by the current solution (solver.cc:584-589)."""
     pts = np.asarray(state.problem.points, np.float64)
@@ -114,10 +173,12 @@ def fused_cloud(state) -> np.ndarray:
 
 
 def vectorize(state, map_output_file=None, verbose: bool = True,
-              **extract_kw):
+              merge: bool = True, **extract_kw):
     """Full Vectorize flow (solver.cc:581-624): fuse, extract, write CSV."""
     cloud = fused_cloud(state)
     lines = extract_lines(cloud, **extract_kw)
+    if merge:
+        lines = merge_colinear(lines)
     if verbose:
         print(f"Created map: Pointcloud size: {len(cloud)}\t"
               f"Lines size: {len(lines)}")

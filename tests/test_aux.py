@@ -160,3 +160,27 @@ max_lidar_range=10
         solve_auto_lc(solver, apply=False, verbose=False,
                       csm_params=CSMParams(scan_range=10.0, high_res=0.05))
         assert len(vis.lc_scans) == 1
+
+
+class TestMergeColinear:
+    def test_merges_split_wall(self):
+        from nautilus_tpu.io.vectorize import merge_colinear
+        segs = [(np.array([0.0, 0.0]), np.array([2.0, 0.0])),
+                (np.array([2.2, 0.01]), np.array([4.0, 0.01])),  # same wall
+                (np.array([0.0, 3.0]), np.array([0.0, 5.0]))]    # different
+        out = merge_colinear(segs)
+        assert len(out) == 2
+        lengths = sorted(np.linalg.norm(b - a) for a, b in out)
+        assert lengths[-1] == pytest.approx(4.0, abs=0.1)
+
+    def test_far_parallel_not_merged(self):
+        from nautilus_tpu.io.vectorize import merge_colinear
+        segs = [(np.array([0.0, 0.0]), np.array([2.0, 0.0])),
+                (np.array([0.0, 1.0]), np.array([2.0, 1.0]))]  # offset 1m
+        assert len(merge_colinear(segs)) == 2
+
+    def test_gap_too_large_not_merged(self):
+        from nautilus_tpu.io.vectorize import merge_colinear
+        segs = [(np.array([0.0, 0.0]), np.array([1.0, 0.0])),
+                (np.array([3.0, 0.0]), np.array([4.0, 0.0]))]  # 2m gap
+        assert len(merge_colinear(segs)) == 2

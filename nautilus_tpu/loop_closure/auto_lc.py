@@ -221,6 +221,8 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
         print(f"Auto-LC: {len(report.accepted)} matches above CSM score "
               f"threshold ({threshold}).")
     if apply and report.accepted:
-        solver.solve_slam()
+        # Reference ResolveWithConstraints solves once at the max window
+        # after injecting LC constraints (solver.cc:662-674).
+        solver.solve_max_window()
         report.applied = True
     return report

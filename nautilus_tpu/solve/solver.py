@@ -252,6 +252,29 @@ class Solver:
         self._writeback(x_out)
         return stats
 
+    def solve_max_window(self, optimization_type: str = "feature") -> SolveStats:
+        """One solve at the max window size (reference
+        ResolveWithConstraints / OptimizeOverMaxWindow, solver.cc:662-674):
+        used after loop-closure constraints are injected, where the growing
+        sweep's small windows add nothing."""
+        cfg = self.config
+        w = cfg.get_int("lidar_constraint_amount_max")
+        stats = SolveStats()
+        x = self._current_x()
+        fixed = self._fixed_mask()
+        t0 = time.perf_counter()
+        graph = self.build_graph(x, w, optimization_type)
+        res = lm_solve(x, graph, fixed, params=self.lm_params)
+        res.x.block_until_ready()
+        stats.windows.append(WindowStats(
+            window=w, initial_cost=float(res.initial_cost),
+            final_cost=float(res.cost), iterations=int(res.iterations),
+            wall_s=time.perf_counter() - t0))
+        self._writeback(res.x)
+        if self.visualizer is not None:
+            self.visualizer.draw_solution(self.state, window=w)
+        return stats
+
     def _solve_slam_host_loop(self, optimization_type: str) -> SolveStats:
         cfg = self.config
         stats = SolveStats()

@@ -88,10 +88,13 @@ def _inv3x3(blocks):
     return inv / det[:, None, None]
 
 
-def _cg(matvec, precond, b, n_iters, tol):
-    """Standard PCG; runs a fixed lax.while with residual tolerance."""
-    x = jnp.zeros_like(b)
-    r = b
+def _cg(matvec, precond, b, n_iters, tol, x0=None):
+    """Standard PCG; runs a fixed lax.while with residual tolerance.
+
+    x0 warm-starts the iteration (the previous LM step is usually a good
+    initial direction for the next one)."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - (matvec(x) if x0 is not None else jnp.zeros_like(b))
     z = precond(r)
     p = z
     rz = jnp.dot(r, z, precision=HIGHEST)
@@ -135,7 +138,7 @@ def lm_solve_cg(x0, graph: FactorGraph, fixed_dof,
 
     terms0, g0, diag0, cost0 = _linearize(x0, graph)
 
-    def solve_damped(terms, g, diag, radius):
+    def solve_damped(terms, g, diag, radius, dx_prev):
         flat_diag = jnp.diagonal(diag, axis1=1, axis2=2).reshape(-1)
         d = jnp.clip(flat_diag, params.min_diagonal, params.max_diagonal)
         d = jnp.where(fixed_dof, 0.0, d) / radius
@@ -156,16 +159,16 @@ def lm_solve_cg(x0, graph: FactorGraph, fixed_dof,
 
         rhs = project(-g)
         dx = _cg(matvec, precond, rhs, cg_params.max_iterations,
-                 cg_params.tolerance)
+                 cg_params.tolerance, x0=project(dx_prev))
         return dx, d
 
     def cond(state):
-        x, terms, g, diag, cost, radius, divisor, it, done = state
+        x, terms, g, diag, cost, radius, divisor, it, done, dx_prev = state
         return (~done) & (it < params.max_iterations) & (radius > params.min_radius)
 
     def body(state):
-        x, terms, g, diag, cost, radius, divisor, it, done = state
-        dx, d = solve_damped(terms, g, diag, radius)
+        x, terms, g, diag, cost, radius, divisor, it, done, dx_prev = state
+        dx, d = solve_damped(terms, g, diag, radius, dx_prev)
         x_new = x + dx.reshape(m, 3)
         new_cost = total_cost(x_new, graph)
         hdx = _hvp(terms, dx, n_dof)
@@ -192,14 +195,18 @@ def lm_solve_cg(x0, graph: FactorGraph, fixed_dof,
         x2 = jnp.where(accept, x_new, x)
         converged = accept & (jnp.abs(actual)
                               <= params.function_tolerance * cost)
+        # Warm-start the next CG from this step when accepted (the next
+        # linearization is nearby); from zero after a rejection (the next
+        # system is more heavily damped).
+        dx_next = jnp.where(accept, dx, jnp.zeros_like(dx))
         return (x2, terms2, g2, diag2, cost2, radius_new, divisor_new,
-                it + 1, converged)
+                it + 1, converged, dx_next)
 
     init = (x0, terms0, g0, diag0, cost0,
             jnp.asarray(params.initial_radius, dtype),
             jnp.asarray(2.0, dtype), jnp.asarray(0, jnp.int32),
-            jnp.asarray(False))
-    x, terms, g, diag, cost, radius, divisor, it, done = jax.lax.while_loop(
-        cond, body, init)
+            jnp.asarray(False), jnp.zeros((n_dof,), dtype))
+    (x, terms, g, diag, cost, radius, divisor, it, done,
+     _dx) = jax.lax.while_loop(cond, body, init)
     return LMResult(x=x, cost=cost, initial_cost=cost0, iterations=it,
                     converged=done)

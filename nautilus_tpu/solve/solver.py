@@ -100,14 +100,21 @@ class Solver:
 
     def __init__(self, state: SLAMState, config, visualizer=None,
                  lm_params: Optional[LMParams] = None,
-                 linear_solver: str = "auto"):
+                 linear_solver: str = "auto",
+                 use_normal_gate: bool = False):
         """linear_solver: 'dense' (Cholesky normal equations — fastest up
         to a few thousand poses), 'cg' (matrix-free PCG, solve/cg.py — for
-        graphs where dense H no longer fits), or 'auto'."""
+        graphs where dense H no longer fits), or 'auto'.
+
+        use_normal_gate enables normal-similarity gating in correspondence
+        search (the reference's GetPointToNormalMatching,
+        solver.cc:177-260 — defined but unused in its hot path, so off by
+        default for parity)."""
         self.state = state
         self.config = config
         self.visualizer = visualizer
         self.lm_params = lm_params or LMParams()
+        self.use_normal_gate = use_normal_gate
         n = state.num_nodes
         if linear_solver == "auto":
             linear_solver = "dense" if n <= 2500 else "cg"
@@ -195,10 +202,12 @@ class Solver:
                                hitl=self._hitl_factors())
         planar = correspond.associate(
             problem, x[:n], self._pair_src, self._pair_tgt,
-            window, outlier, feature="planar")
+            window, outlier, feature="planar",
+            use_normal_gate=self.use_normal_gate)
         edge = correspond.associate(
             problem, x[:n], self._pair_src, self._pair_tgt,
-            window, outlier, feature="edge")
+            window, outlier, feature="edge",
+            use_normal_gate=self.use_normal_gate)
         return FactorGraph(odom=odom, planar=planar, edge=edge,
                            hitl=self._hitl_factors())
 
@@ -234,7 +243,7 @@ class Solver:
         t0 = time.perf_counter()
         x_out, init_costs, final_costs, iters = _fused_sweep(
             x, problem, self._pair_src, self._pair_tgt, odom, hitl, fixed,
-            outlier, w_min, w_max, self.lm_params)
+            outlier, w_min, w_max, self.lm_params, self.use_normal_gate)
         x_out.block_until_ready()
         wall = time.perf_counter() - t0
         if not bool(jnp.all(jnp.isfinite(x_out))):
@@ -327,9 +336,11 @@ class Solver:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w_min", "w_max", "lm_params"))
+                   static_argnames=("w_min", "w_max", "lm_params",
+                                    "use_normal_gate"))
 def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
-                 w_min: int, w_max: int, lm_params):
+                 w_min: int, w_max: int, lm_params,
+                 use_normal_gate: bool = False):
     """OptimizeOverGrowingWindow as one device program.
 
     The window size is a runtime value inside the fori_loop (it only enters
@@ -348,9 +359,11 @@ def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
         x, init_costs, final_costs, iters = carry
         w = w_min + k
         planar = correspond.associate(problem, x[:n], pair_src, pair_tgt,
-                                      w, outlier, feature="planar")
+                                      w, outlier, feature="planar",
+                                      use_normal_gate=use_normal_gate)
         edge = correspond.associate(problem, x[:n], pair_src, pair_tgt,
-                                    w, outlier, feature="edge")
+                                    w, outlier, feature="edge",
+                                    use_normal_gate=use_normal_gate)
         graph = FactorGraph(odom=odom, planar=planar, edge=edge, hitl=hitl)
         res = lm_loop(
             x,

@@ -264,3 +264,16 @@ class TestGradients:
                         lo = np.asarray(f(ps, pt - delta))
                     fd = (hi - lo) / (2 * eps)
                     np.testing.assert_allclose(J[..., d], fd, atol=3e-3)
+
+
+class TestNormalGate:
+    def test_normal_gated_solve(self):
+        state, _ = make_problem(num_nodes=8, world_kind="room", num_beams=360,
+                                seed=3, odom_noise_trans=0.02,
+                                odom_noise_rot=0.01)
+        cfg = load_config_text(DEFAULTS)
+        solver = Solver(state, cfg, use_normal_gate=True)
+        stats = solver.solve_slam()
+        assert np.isfinite(stats.final_cost)
+        last = stats.windows[-1]
+        assert last.final_cost <= last.initial_cost

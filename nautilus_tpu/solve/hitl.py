@@ -126,16 +126,18 @@ def build_hitl_factors(state: SLAMState, dtype=jnp.float32) -> HitlFactors:
     if not rows:
         from nautilus_tpu.solve.factors import empty_hitl
         return empty_hitl(dtype)
-    # Power-of-two bucketed padding so a growing constraint set causes only
-    # O(log) LM recompiles per curation session.
+    # Power-of-two bucketed padding with generous floors: typical curation
+    # sessions (tens of constrained poses, a few hundred points each) stay
+    # inside ONE compiled shape; growth beyond the floor costs O(log)
+    # recompiles.  Masked padding is near-free at solve time.
     def bucket(n, lo):
         b = lo
         while b < n:
             b *= 2
         return b
 
-    kmax = bucket(max(max(len(p) for _, _, p, _ in rows), 1), 64)
-    r = bucket(len(rows), 8)
+    kmax = bucket(max(max(len(p) for _, _, p, _ in rows), 1), 512)
+    r = bucket(len(rows), 32)
     n_real_rows = len(rows)
     node = np.zeros(r, np.int32)
     line = np.zeros(r, np.int32)

@@ -129,15 +129,35 @@ class Solver:
     def _dtype(self):
         return self.state.problem.points.dtype
 
+    def _num_line_slots(self) -> int:
+        """Line-pose slots padded to a bucket of 8: adding a HITL constraint
+        then does NOT change the dof-vector length, so the compiled LM
+        programs survive constraint accumulation.  Unused slots are
+        gauge-fixed (no residual touches them either)."""
+        L = len(self.state.line_poses)
+        if L == 0:
+            return 0
+        b = 8
+        while b < L:
+            b *= 2
+        return b
+
     def _current_x(self) -> jnp.ndarray:
-        """[N + L, 3] dof vector: node poses + HITL line poses."""
-        x = np.concatenate([self.state.solution, self.state.line_poses], axis=0)
+        """[N + L_pad, 3] dof vector: node poses + HITL line poses."""
+        slots = self._num_line_slots()
+        L = len(self.state.line_poses)
+        pad = np.zeros((slots - L, 3), np.float64)
+        x = np.concatenate([self.state.solution, self.state.line_poses, pad],
+                           axis=0)
         return jnp.asarray(x, self._dtype())
 
     def _fixed_mask(self) -> jnp.ndarray:
-        m = self.state.num_nodes + len(self.state.line_poses)
-        mask = np.zeros((3 * m,), bool)
+        n = self.state.num_nodes
+        slots = self._num_line_slots()
+        L = len(self.state.line_poses)
+        mask = np.zeros((3 * (n + slots),), bool)
         mask[0:3] = True  # gauge: pose 0 constant (solver.cc:384-386)
+        mask[3 * (n + L):] = True  # unused line-pose slots
         return jnp.asarray(mask)
 
     def _odom_factors(self) -> OdomFactors:
@@ -329,10 +349,11 @@ class Solver:
 
     def _writeback(self, x):
         n = self.state.num_nodes
+        L = len(self.state.line_poses)
         host = np.asarray(x, np.float64)
         self.state.solution = host[:n]
-        if len(host) > n:
-            self.state.line_poses = host[n:]
+        if L:
+            self.state.line_poses = host[n:n + L]
 
 
 @functools.partial(jax.jit,

@@ -165,13 +165,11 @@ def solved_odom_factors(state: SLAMState, max_window: int):
     pose (raw world-frame deltas, unwrapped rotation difference)."""
     sol = state.solution
     n = len(sol)
-    ii, jj = [], []
-    for index in range(1, n):
-        for prev in range(max(0, index - max_window), index):
-            ii.append(prev)
-            jj.append(index)
-    ii = np.asarray(ii, np.int64)
-    jj = np.asarray(jj, np.int64)
+    # Vectorized pair enumeration: for each j in [1, n), i in [j-w, j).
+    jj = np.repeat(np.arange(1, n), np.minimum(np.arange(1, n), max_window))
+    offsets = np.concatenate(
+        [np.arange(min(j, max_window), 0, -1) for j in range(1, n)])
+    ii = jj - offsets
     trans = sol[jj, :2] - sol[ii, :2]
     rot = sol[jj, 2] - sol[ii, 2]
     return ii, jj, trans, rot

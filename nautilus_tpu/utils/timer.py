@@ -75,6 +75,22 @@ class CumulativeFunctionTimer:
 atexit.register(CumulativeFunctionTimer.report_all)
 
 
+class RateLoop:
+    """Fixed-rate loop helper (reference RateLoop, timer.h/timer.cc):
+    sleep so successive Wait() calls are ~1/rate_hz apart."""
+
+    def __init__(self, rate_hz: float):
+        self.period = 1.0 / rate_hz
+        self._next = time.perf_counter() + self.period
+
+    def wait(self):
+        now = time.perf_counter()
+        delay = self._next - now
+        if delay > 0:
+            time.sleep(delay)
+        self._next = max(self._next + self.period, time.perf_counter())
+
+
 @contextlib.contextmanager
 def device_trace(name: str):
     """jax.profiler annotation so host spans show up in TPU traces."""

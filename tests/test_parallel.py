@@ -110,3 +110,36 @@ def test_sharded_sweep_matches_fused(setup):
 
     np.testing.assert_allclose(np.asarray(fc2), np.asarray(fc1), rtol=2e-3)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-2)
+
+
+def test_sharded_sweep_with_hitl_factors(setup):
+    """The sharded sweep also handles HITL factor rows."""
+    from nautilus_tpu.core.luaconf import load_config_text
+    from nautilus_tpu.ingest.synthetic import make_problem
+    from nautilus_tpu.parallel.sharded import sharded_sweep
+    from nautilus_tpu.solve.hitl import HitlSlamInputMsg, select_poses
+    from nautilus_tpu.solve.solver import Solver
+
+    state, _ = make_problem(num_nodes=8, world_kind="room", num_beams=360,
+                            seed=4)
+    cfg = load_config_text(CFG + """
+hitl_line_width=0.3
+hitl_pose_point_threshold=10
+""")
+    msg = HitlSlamInputMsg.from_points((-5.2, -5.0), (5.2, -5.0),
+                                       (-5.2, -4.6), (5.2, -4.6))
+    c = select_poses(state, msg, cfg)
+    state.hitl_constraints.append(c)
+    state.line_poses = np.concatenate([state.line_poses,
+                                       np.zeros((1, 3))], axis=0)
+    solver = Solver(state, cfg)
+    x = solver._current_x()
+    fixed = solver._fixed_mask()
+    hitl = solver._hitl_factors()
+    odom = solver._odom_factors()
+    mesh = default_mesh(8)
+    x2, ic, fc, it = sharded_sweep(
+        x, state.problem, solver._pair_src, solver._pair_tgt, odom, hitl,
+        fixed, jnp.asarray(0.25, x.dtype), 1, 2, mesh)
+    assert np.all(np.isfinite(np.asarray(x2)))
+    assert float(fc[-1]) <= float(ic[-1]) + 1e-6

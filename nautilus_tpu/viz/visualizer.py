@@ -179,6 +179,8 @@ class RosBridgeVisualizer(SolverVisualizer):
         # the same topic names; the heavy lifting stays host-side.
         import rospy
         from geometry_msgs.msg import PoseArray, Pose
+        from sensor_msgs.msg import PointCloud2, PointField
+        from nautilus_tpu.viz.ros_encode import encode_pointcloud2
         pub = rospy.Publisher(f"{self.topic_prefix}/all_poses", PoseArray,
                               queue_size=1, latch=True)
         msg = PoseArray()
@@ -189,3 +191,23 @@ class RosBridgeVisualizer(SolverVisualizer):
             p.orientation.w = float(np.cos(pose[2] / 2))
             msg.poses.append(p)
         pub.publish(msg)
+        # Cloud topics with the reference's field layout
+        # (solver_vis_ros.cc:114-127).
+        for subset, topic in (("all", "all_points"),
+                              ("planar", "planar_points"),
+                              ("edge", "edge_points")):
+            enc = encode_pointcloud2(transformed_clouds(state, subset))
+            pc = PointCloud2()
+            pc.header.frame_id = enc["frame_id"]
+            pc.height = enc["height"]
+            pc.width = enc["width"]
+            pc.fields = [PointField(name=f["name"], offset=f["offset"],
+                                    datatype=f["datatype"], count=f["count"])
+                         for f in enc["fields"]]
+            pc.is_bigendian = enc["is_bigendian"]
+            pc.point_step = enc["point_step"]
+            pc.row_step = enc["row_step"]
+            pc.is_dense = enc["is_dense"]
+            pc.data = enc["data"]
+            rospy.Publisher(f"{self.topic_prefix}/{topic}", PointCloud2,
+                            queue_size=1, latch=True).publish(pc)

@@ -184,3 +184,16 @@ class TestMergeColinear:
         segs = [(np.array([0.0, 0.0]), np.array([1.0, 0.0])),
                 (np.array([3.0, 0.0]), np.array([4.0, 0.0]))]  # 2m gap
         assert len(merge_colinear(segs)) == 2
+
+
+class TestRosEncode:
+    def test_pointcloud2_roundtrip(self, rng):
+        from nautilus_tpu.viz.ros_encode import (decode_pointcloud2,
+                                                 encode_pointcloud2)
+        pts = rng.normal(size=(57, 2)).astype(np.float32)
+        msg = encode_pointcloud2(pts)
+        assert msg["width"] == 57
+        assert msg["point_step"] == 12
+        assert len(msg["data"]) == 57 * 12
+        assert [f["name"] for f in msg["fields"]] == ["x", "y", "z"]
+        np.testing.assert_allclose(decode_pointcloud2(msg), pts, atol=1e-7)

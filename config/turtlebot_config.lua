@@ -1,4 +1,11 @@
 -- Short indoor turtlebot run with denser node capture and a wider window.
+--
+-- NOTE ON PROVENANCE: the key names and values in this file are the shared
+-- configuration API between this engine and the reference implementation
+-- (BASELINE.json: "config/*.lua drive both engines").  They are data, not
+-- code: each per-dataset file pins the bag path, topics, pose budget and
+-- tuning weights for one benchmark workload, so the values necessarily
+-- match the reference's published configuration for that dataset.
 require("config.default_config")
 bag_path="../bagfiles/4_floor.bag"
 lidar_topic="/scan"

@@ -84,7 +84,6 @@ def main():
     state.solution = x_tpu.copy()
     state.hitl_constraints.clear()
     state.line_poses = state.line_poses[:0]
-    state.odometry_factors = state.initial_odometry_factors
     solver.config = cfg
 
     # --- CPU reference engine.

@@ -328,7 +328,7 @@ def preprocess(points, mask,
     chunk = 64
     n = points.shape[0]
     n_pad = ((n + chunk - 1) // chunk) * chunk
-    pts = np.zeros((n_pad,) + points.shape[1:], np.float32)
+    pts = np.zeros((n_pad,) + points.shape[1:], np.asarray(points).dtype)
     msk = np.zeros((n_pad,) + mask.shape[1:], bool)
     pts[:n] = points
     msk[:n] = mask

@@ -237,6 +237,13 @@ def csm_match(cloud_a, mask_a, cloud_b, mask_b,
                                cloud_a, mask_a, params)
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def _match_many(tables, A, MA, params):
+    return jax.lax.map(
+        lambda am: csm_match_to_tables(tables, am[0], am[1], params),
+        (A, MA), batch_size=2)
+
+
 def csm_match_grouped(points, masks, src_idx, tgt_idx,
                       params: CSMParams = CSMParams()):
     """Pair matching grouped by target: tables built once per unique target.
@@ -250,12 +257,6 @@ def csm_match_grouped(points, masks, src_idx, tgt_idx,
     scores = np.zeros(q, np.float32)
     transforms = np.zeros((q, 3), np.float32)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def match_many(tables, A, MA):
-        return jax.lax.map(
-            lambda am: csm_match_to_tables(tables, am[0], am[1], params),
-            (A, MA), batch_size=2)
-
     for t in np.unique(tgt_idx):
         rows = np.nonzero(tgt_idx == t)[0]
         # Power-of-two group padding (repeat row 0) so group-size variety
@@ -265,8 +266,8 @@ def csm_match_grouped(points, masks, src_idx, tgt_idx,
             g *= 2
         padded = np.concatenate([rows, np.full(g - len(rows), rows[0])])
         tables = build_tables(points[int(t)], masks[int(t)], params)
-        s, tr = match_many(tables, points[src_idx[padded]],
-                           masks[src_idx[padded]])
+        s, tr = _match_many(tables, points[src_idx[padded]],
+                            masks[src_idx[padded]], params)
         scores[rows] = np.asarray(s)[:len(rows)]
         transforms[rows] = np.asarray(tr)[:len(rows)]
     return scores, transforms

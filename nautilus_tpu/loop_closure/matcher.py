@@ -75,6 +75,7 @@ class LCMatcher:
             np.concatenate([state.solution, state.line_poses], axis=0),
             state.problem.points.dtype)
         self.H, _, _ = assemble_normal_equations(x, graph)
+        self._pair_cache = {}
 
     def chi_square_score(self, source: int, target: int) -> Tuple[np.ndarray, float]:
         cov, score = self._scores([(source, target)])[0]
@@ -83,13 +84,15 @@ class LCMatcher:
     def _scores(self, pairs: List[Tuple[int, int]]):
         if not pairs:
             return []
-        out = []
         # Group by the re-gauge pose (min(s,t) - 1, reference lc_matcher.cc:38)
-        # so each group shares one factorization.
+        # so each group shares one factorization; pairs already scored (e.g.
+        # during gating) come from the cache.
         groups: Dict[int, List[Tuple[int, int]]] = {}
         for s, t in pairs:
+            if (s, t) in self._pair_cache:
+                continue
             groups.setdefault(max(min(s, t) - 1, 0), []).append((s, t))
-        results = {}
+        results = self._pair_cache
         for fixed_pose, group in groups.items():
             ss = jnp.asarray([g[0] for g in group], jnp.int32)
             tt = jnp.asarray([g[1] for g in group], jnp.int32)

@@ -141,7 +141,8 @@ def _pad_to_multiple(arr, mult: int, axis: int = 0):
 
 def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
                   outlier, w_min: int, w_max: int, mesh: Mesh,
-                  lm_params: LMParams = LMParams()):
+                  lm_params: LMParams = LMParams(),
+                  use_normal_gate: bool = False):
     """The full OptimizeOverGrowingWindow, multi-chip.
 
     Everything per-factor is sharded over the 'factors' mesh axis:
@@ -208,10 +209,12 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
             x, ic, fc, it = carry
             w = w_min + k
             planar = correspond.associate(problem, x[:n], psrc, ptgt, w,
-                                          outlier, feature="planar")
+                                          outlier, feature="planar",
+                                          use_normal_gate=use_normal_gate)
             planar = planar._replace(mask=planar.mask & pvalid[:, None])
             edge = correspond.associate(problem, x[:n], psrc, ptgt, w,
-                                        outlier, feature="edge")
+                                        outlier, feature="edge",
+                                        use_normal_gate=use_normal_gate)
             edge = edge._replace(mask=edge.mask & pvalid[:, None])
             graph = FactorGraph(odom=odom_l, planar=planar, edge=edge,
                                 hitl=hitl_l)

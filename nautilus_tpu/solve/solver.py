@@ -169,10 +169,13 @@ class Solver:
         program compiled for the densified first solve — masked padding
         costs ~nothing next to the lidar residuals.
         """
-        key = (id(self.state.odometry_factors), len(self.state.lc_factors))
+        # Hold the factor tuple itself in the cache entry: identity compare
+        # is then safe (the held reference prevents id reuse after gc).
         cached = getattr(self, "_odom_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
+        if (cached is not None
+                and cached[0] is self.state.odometry_factors
+                and cached[1] == len(self.state.lc_factors)):
+            return cached[2]
         cfg = self.config
         odom = odom_factors_from_state(self.state, self._dtype(),
                                        cfg.translation_weight,
@@ -188,7 +191,8 @@ class Solver:
                 mask=jnp.pad(odom.mask, (0, pad)),
                 wt=jnp.pad(odom.wt, (0, pad)),
                 wr=jnp.pad(odom.wr, (0, pad)))
-        self._odom_cache = (key, odom)
+        self._odom_cache = (self.state.odometry_factors,
+                            len(self.state.lc_factors), odom)
         return odom
 
     def _hitl_factors(self) -> HitlFactors:
@@ -293,7 +297,11 @@ class Solver:
         fixed = self._fixed_mask()
         t0 = time.perf_counter()
         graph = self.build_graph(x, w, optimization_type)
-        res = lm_solve(x, graph, fixed, params=self.lm_params)
+        if self.linear_solver == "cg":
+            from nautilus_tpu.solve.cg import lm_solve_cg
+            res = lm_solve_cg(x, graph, fixed, params=self.lm_params)
+        else:
+            res = lm_solve(x, graph, fixed, params=self.lm_params)
         res.x.block_until_ready()
         stats.windows.append(WindowStats(
             window=w, initial_cost=float(res.initial_cost),

@@ -160,13 +160,24 @@ class RosBridgeVisualizer(SolverVisualizer):
     """Publish the reference's topics via rospy if ROS is present."""
 
     def __init__(self, topic_prefix: str = "/nautilus"):
+        self.topic_prefix = topic_prefix
+        self._pubs = {}
         try:
-            import rospy  # noqa: F401
-            from sensor_msgs.msg import PointCloud2  # noqa: F401
+            import rospy
+            from geometry_msgs.msg import PoseArray
+            from sensor_msgs.msg import PointCloud2
             self._available = True
+            # Publishers are created once: per-call registration would be
+            # garbage-collected before subscriber handshakes complete.
+            self._pubs["all_poses"] = rospy.Publisher(
+                f"{topic_prefix}/all_poses", PoseArray, queue_size=1,
+                latch=True)
+            for topic in ("all_points", "planar_points", "edge_points"):
+                self._pubs[topic] = rospy.Publisher(
+                    f"{topic_prefix}/{topic}", PointCloud2, queue_size=1,
+                    latch=True)
         except ImportError:
             self._available = False
-        self.topic_prefix = topic_prefix
 
     @property
     def available(self) -> bool:
@@ -177,12 +188,9 @@ class RosBridgeVisualizer(SolverVisualizer):
             return
         # Deliberately minimal: users running inside a ROS environment get
         # the same topic names; the heavy lifting stays host-side.
-        import rospy
         from geometry_msgs.msg import PoseArray, Pose
         from sensor_msgs.msg import PointCloud2, PointField
         from nautilus_tpu.viz.ros_encode import encode_pointcloud2
-        pub = rospy.Publisher(f"{self.topic_prefix}/all_poses", PoseArray,
-                              queue_size=1, latch=True)
         msg = PoseArray()
         for pose in state.solution:
             p = Pose()
@@ -190,7 +198,7 @@ class RosBridgeVisualizer(SolverVisualizer):
             p.orientation.z = float(np.sin(pose[2] / 2))
             p.orientation.w = float(np.cos(pose[2] / 2))
             msg.poses.append(p)
-        pub.publish(msg)
+        self._pubs["all_poses"].publish(msg)
         # Cloud topics with the reference's field layout
         # (solver_vis_ros.cc:114-127).
         for subset, topic in (("all", "all_points"),
@@ -209,5 +217,4 @@ class RosBridgeVisualizer(SolverVisualizer):
             pc.row_step = enc["row_step"]
             pc.is_dense = enc["is_dense"]
             pc.data = enc["data"]
-            rospy.Publisher(f"{self.topic_prefix}/{topic}", PointCloud2,
-                            queue_size=1, latch=True).publish(pc)
+            self._pubs[topic].publish(pc)

@@ -16,13 +16,18 @@ filter dimension — the MXU does the scan matching.  Two resolutions:
 
 - coarse: low_res cells over the full +-trans_range window, rotation step
   sized so one step moves the farthest point one cell;
-- fine: high_res cells over +-1 coarse cell around the coarse argmax, with
-  a correspondingly refined rotation sweep.
+- fine: a refinement pyramid around the coarse argmax scored DIRECTLY
+  against the K nearest target points of each source point (selected once
+  at the coarse optimum).  occ(p) = clip(sum_k exp(-d_pk^2 / 2 sigma^2), 1)
+  is exactly the Gaussian-smeared occupancy the reference rasterizes into
+  its high-res lookup table, evaluated continuously: no 1 cm raster, no
+  per-pair multi-MB tables, and the (rotation x ty x tx) sweep factors into
+  two separable exponential tensors contracted on the MXU.
 
-Scores are mean per-source-point log-occupancy of a Gaussian-smeared
-target raster, normalized by point count — monotone with Olson's
-log-likelihood formulation; the absolute scale of csm_score_threshold is
-recalibrated for this engine (see DEVIATIONS.md).
+Scores are mean per-source-point log-occupancy, normalized by point
+count — monotone with Olson's log-likelihood formulation; the absolute
+scale of csm_score_threshold is recalibrated for this engine (see
+DEVIATIONS.md).
 
 An equivalent Pallas kernel for the coarse correlation lives in
 kernels/csm_pallas.py and is used when enabled (see ``use_pallas``).
@@ -48,10 +53,15 @@ class CSMParams(NamedTuple):
     high_res: float = 0.01
     sigma: float = 0.06            # Gaussian smear of the lookup table
     rotation_restriction: float = math.pi / 2   # +- rotation window
-    # Pallas coarse-correlation kernel: ~2.4x faster than the XLA conv on
-    # v5e AND exact f32 (the conv lowers to bf16 passes).  Auto-disabled on
-    # non-TPU backends.
-    use_pallas: bool = True
+    # Pallas coarse-correlation kernel (kernels/csm_pallas.py).  The
+    # default im2col-matmul formulation (_correlate_matmul) outruns it on
+    # v5e (~200 vs ~140 pairs/s at batch 16) because the contraction rides
+    # the MXU; the kernel is kept as a reference implementation.
+    use_pallas: bool = False
+    # Nearest target points per source point used by the fine stages.  The
+    # Gaussian (sigma ~6 cm) makes anything beyond the first few neighbors
+    # irrelevant; 32 leaves a wide margin for dense walls.
+    fine_k: int = 32
 
     @property
     def table_halfwidth(self) -> float:
@@ -69,15 +79,20 @@ class CSMParams(NamedTuple):
 
 
 def _raster(points, mask, halfwidth, res, cells):
-    """Point counts per cell, [cells, cells]; row = y, col = x."""
+    """Point counts per cell, [cells, cells]; row = y, col = x.
+
+    One-hot contraction instead of scatter-add: img[y, x] =
+    sum_p onehotY[p, y] * onehotX[p, x] runs on the MXU, where TPU
+    scatters serialize.  bf16 one-hots are exact (0/1 values, f32
+    accumulation); out-of-range indices match no column, so bounds
+    checks are implicit.
+    """
     ij = jnp.floor((points + halfwidth) / res).astype(jnp.int32)
-    ok = (mask & (ij[..., 0] >= 0) & (ij[..., 0] < cells)
-          & (ij[..., 1] >= 0) & (ij[..., 1] < cells))
-    ij = jnp.clip(ij, 0, cells - 1)
-    flat = ij[..., 1] * cells + ij[..., 0]
-    img = jnp.zeros((cells * cells,), jnp.float32).at[flat].add(
-        ok.astype(jnp.float32))
-    return img.reshape(cells, cells)
+    cols = jnp.arange(cells, dtype=jnp.int32)
+    ohx = (ij[..., 0, None] == cols).astype(jnp.bfloat16)        # [P, cells]
+    ohy = ((ij[..., 1, None] == cols) & mask[..., None]).astype(jnp.bfloat16)
+    return jnp.einsum("py,px->yx", ohy, ohx,
+                      preferred_element_type=jnp.float32)
 
 
 def _smear_log_table(raster, res, sigma):
@@ -118,6 +133,25 @@ def _correlate(table, kernels):
     return out[0]                                # [R, OH, OW]
 
 
+def _correlate_matmul(table, kernels):
+    """Same contract as _correlate, as an im2col matmul.
+
+    The offset grid is tiny (~15x15) and the table fits VMEM, so unrolled
+    static slices + ONE [R, h*w] @ [h*w, OH*OW] dot beat both the XLA conv
+    (single-channel convs lower poorly) and a VPU reduction kernel.
+    """
+    r, kh, kw = kernels.shape
+    oh = table.shape[0] - kh + 1
+    ow = table.shape[1] - kw + 1
+    patches = jnp.stack(
+        [jax.lax.dynamic_slice(table, (oy, ox), (kh, kw)).reshape(-1)
+         for oy in range(oh) for ox in range(ow)], axis=1)   # [kh*kw, OH*OW]
+    scores = jax.lax.dot(kernels.reshape(r, -1), patches,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+    return scores.reshape(r, oh, ow)
+
+
 def _on_tpu() -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
 
@@ -141,7 +175,7 @@ def _search_stage(table_log, src_points, src_mask, thetas, res,
         from nautilus_tpu.kernels.csm_pallas import correlate_pallas
         scores = correlate_pallas(table_log, rasters)
     else:
-        scores = _correlate(table_log, rasters)
+        scores = _correlate_matmul(table_log, rasters)
     return scores
 
 
@@ -159,27 +193,30 @@ def _stage_resolutions(params: CSMParams):
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def build_tables(cloud_b, mask_b, params: CSMParams = CSMParams()):
-    """Smeared log-occupancy lookup tables at all pyramid resolutions.
+    """Per-target matcher state: coarse lookup table + the raw cloud.
 
-    The per-TARGET half of the matcher; amortize over many sources with
-    csm_match_to_tables (the reference builds its lookup tables per
-    GetTransformation call — grouping by target is a freebie of the
-    functional split)."""
+    Only the coarse stage uses a rasterized table; the fine stages score
+    continuous Gaussian distances against the target points directly, so
+    the reference's per-pair high-res raster (third_party CSM; 1 cm cells
+    over the full scan extent) has no equivalent here.  Amortize over many
+    sources with csm_match_to_tables."""
     halfwidth = params.table_halfwidth
-    return tuple(
-        _smear_log_table(
-            _raster(cloud_b, mask_b, halfwidth, res, params.table_cells(res)),
-            res, max(params.sigma, res * 0.5))
-        for res in _stage_resolutions(params))
+    res = params.low_res
+    table_lo = _smear_log_table(
+        _raster(cloud_b, mask_b, halfwidth, res, params.table_cells(res)),
+        res, max(params.sigma, res * 0.5))
+    # Masked target points are parked far away instead of carrying a mask:
+    # their Gaussian contribution underflows to exactly 0.
+    parked = jnp.where(mask_b[:, None], cloud_b.astype(jnp.float32), 1e3)
+    return (table_lo, parked)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def csm_match_to_tables(tables, cloud_a, mask_a,
                         params: CSMParams = CSMParams()):
     """Match one source cloud against prebuilt target tables."""
-    halfwidth = params.table_halfwidth
     n_valid = jnp.maximum(jnp.sum(mask_a.astype(jnp.float32)), 1.0)
-    table_lo, table_mid, table_hi = tables
+    table_lo, tgt_points = tables
     rot_step_lo = params.low_res / params.scan_range
     n_rot = max(int(np.ceil(2 * params.rotation_restriction / rot_step_lo)), 1)
     thetas_lo = (-params.rotation_restriction
@@ -194,27 +231,32 @@ def csm_match_to_tables(tables, cloud_a, mask_a,
     ty0 = (oy0 - offset_lo).astype(jnp.float32) * params.low_res
     tx0 = (ox0 - offset_lo).astype(jnp.float32) * params.low_res
 
-    # ---- refinement pyramid: gather-scored stages around the optimum ----
+    # ---- refinement pyramid: direct Gaussian stages around the optimum ---
     # Each stage narrows translation to +-1 previous cell and rotation to
-    # +- half the previous rotation step, so the total gather count stays
-    # ~2M per pair instead of the ~125M a single 0.3 -> 0.01 jump needs.
+    # +- half the previous rotation step.  All stages share one neighbor
+    # set selected at the coarse optimum: the largest fine-pose displacement
+    # (0.3 m translation + rotation jitter) is well inside the margin after
+    # which the Gaussian (sigma ~6 cm) underflows anyway.
     _, mid_res, _ = _stage_resolutions(params)
+    neighbors = _nearest_targets(
+        _rotate(cloud_a, theta0) + jnp.stack([tx0, ty0]),
+        tgt_points, params.fine_k)
     stages = [
-        # (table, res, rot_step, prev_res, prev_rot_step)
-        (table_mid, mid_res, mid_res / params.scan_range, params.low_res,
-         rot_step_lo),
-        (table_hi, params.high_res, params.high_res / params.scan_range,
+        # (res, rot_step, prev_res, prev_rot_step)
+        (mid_res, mid_res / params.scan_range, params.low_res, rot_step_lo),
+        (params.high_res, params.high_res / params.scan_range,
          mid_res, mid_res / params.scan_range),
     ]
     theta = theta0
     tx, ty = tx0, ty0
     best = scores_lo[r0, oy0, ox0]
-    for table, res, rot_step, prev_res, prev_rot_step in stages:
+    for res, rot_step, prev_res, prev_rot_step in stages:
         n_rot = min(max(int(np.ceil(prev_rot_step / rot_step)) | 1, 1), 9)
         thetas = theta + (jnp.arange(n_rot) - n_rot // 2) * rot_step
         offset_cells = int(round(prev_res / res))
-        scores, t_grid = _refine_stage(table, cloud_a, mask_a, thetas,
-                                       res, halfwidth, offset_cells, tx, ty)
+        scores, t_grid = _refine_direct(cloud_a, mask_a, neighbors, thetas,
+                                        res, offset_cells, tx, ty,
+                                        params.sigma)
         r1, oy1, ox1 = _argmax3(scores)
         theta = thetas[r1]
         ty = t_grid[0][oy1]
@@ -273,41 +315,45 @@ def csm_match_grouped(points, masks, src_idx, tgt_idx,
     return scores, transforms
 
 
-def _refine_stage(table_hi, src_points, src_mask, thetas, res, halfwidth,
-                  offset_cells, tx0, ty0):
-    """Fine stage scored by direct gather (sparse points beat a dense conv
-    at 1 cm resolution: P gathers/candidate vs a multi-thousand-cell MAC).
+def _nearest_targets(coarse_aligned_src, tgt_points, k: int):
+    """[P, K, 2] nearest target points per coarse-aligned source point.
+
+    Masked targets were parked at 1e3 by build_tables, so they sort last
+    and contribute zero Gaussian mass if ever selected.
+    """
+    d2 = jnp.sum((coarse_aligned_src[:, None, :].astype(jnp.float32)
+                  - tgt_points[None, :, :]) ** 2, axis=-1)       # [P, Q]
+    _, idx = jax.lax.top_k(-d2, k)                               # [P, K]
+    return tgt_points[idx]                                       # [P, K, 2]
+
+
+def _refine_direct(src_points, src_mask, neighbors, thetas, res,
+                   offset_cells, tx0, ty0, sigma):
+    """Fine stage scored directly against per-point neighbor targets.
+
+    occ(p) = clip(sum_k exp(-||R(theta) p + t - q_pk||^2 / 2 sigma^2), 1)
+    is the Gaussian-smeared occupancy the reference reads from its 1 cm
+    raster, evaluated continuously.  The squared distance is separable
+    ((dx+tx)^2 + (dy+ty)^2), so exp factors into per-axis tensors and the
+    whole (ty x tx) window is one MXU contraction over the neighbors.
 
     Returns (scores [R, W, W], (ty_grid [W], tx_grid [W])).
     """
-    cells = table_hi.shape[0]
     win = 2 * offset_cells + 1
-    rot = jax.vmap(lambda t: _rotate(src_points, t))(thetas)       # [R, P, 2]
+    inv = 1.0 / (2.0 * sigma * sigma)
     steps = (jnp.arange(win) - offset_cells).astype(jnp.float32) * res
-    ty = ty0 + steps                                                # [W]
+    ty = ty0 + steps                                             # [W]
     tx = tx0 + steps
-
-    def score_rot(pts):
-        # [win_y, win_x, P] broadcast: x varies along axis 1, y along axis 0.
-        px = pts[:, 0][None, None, :] + tx[None, :, None]
-        py = pts[:, 1][None, None, :] + ty[:, None, None]
-        ix = jnp.floor((px + halfwidth) / res).astype(jnp.int32)
-        iy = jnp.floor((py + halfwidth) / res).astype(jnp.int32)
-        in_bounds = (ix >= 0) & (ix < cells) & (iy >= 0) & (iy < cells)
-        ix = jnp.clip(ix, 0, cells - 1)
-        iy = jnp.clip(iy, 0, cells - 1)
-        vals = table_hi[iy, ix]
-        # Valid points off the table score the floor log-prob; PADDED slots
-        # contribute exactly zero.
-        vals = jnp.where(in_bounds, vals, jnp.log(1e-6))
-        vals = jnp.where(src_mask[None, None, :], vals, 0.0)
-        return jnp.sum(vals, axis=-1)                       # [win_y, win_x]
-
-    # Rotations in small sequential batches: a full vmap would materialize
-    # [R, win, win, P] gather outputs (hundreds of MB per pair when the
-    # matcher itself is vmapped over candidate pairs).
-    scores = jax.lax.map(score_rot, rot, batch_size=4)
-    return scores, (ty, tx)                                  # [R, win, win]
+    rot = jax.vmap(lambda t: _rotate(src_points, t))(thetas)     # [R, P, 2]
+    dx = rot[..., 0, None] - neighbors[None, ..., 0]             # [R, P, K]
+    dy = rot[..., 1, None] - neighbors[None, ..., 1]
+    ex = jnp.exp(-(dx[:, None] + tx[None, :, None, None]) ** 2 * inv)
+    ey = jnp.exp(-(dy[:, None] + ty[None, :, None, None]) ** 2 * inv)
+    occ = jnp.einsum("rwpk,rvpk->rwvp", ey, ex,
+                     precision=jax.lax.Precision.HIGHEST)        # [R,Wy,Wx,P]
+    vals = jnp.log(jnp.clip(occ, 0.0, 1.0) + 1e-6)
+    vals = jnp.where(src_mask[None, None, None, :], vals, 0.0)
+    return jnp.sum(vals, axis=-1), (ty, tx)                      # [R, W, W]
 
 
 @functools.partial(jax.jit, static_argnames=("params", "inner_batch"))
@@ -316,9 +362,9 @@ def csm_match_batch(clouds_a, masks_a, clouds_b, masks_b,
     """Batched matching over candidate pairs (loop-closure workload).
 
     One jitted program (single dispatch through the runtime) that maps over
-    pairs with a small inner vmap width: the per-pair high-res lookup
-    tables are the memory hog (~250 MB at 1 cm over a 28 m extent), so wide
-    vmaps exceed HBM at compile time.
+    pairs with a small inner vmap width; inner_batch=2 measures fastest on
+    v5e (wider vmaps blow up the coarse one-hot raster intermediates
+    [B, R, P, cells] without adding MXU utilization).
     """
     return jax.lax.map(
         lambda args: csm_match(*args, params=params),

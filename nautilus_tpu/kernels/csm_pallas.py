@@ -11,8 +11,11 @@ coarse stage's shapes (table ~200^2 f32 = ~160 KB, kernel ~130^2, offsets
 ~15^2) everything fits VMEM comfortably and each program is one pass of
 ~OH*OW fused multiply-reduces.
 
-Numerically identical (up to f32 reduction order) to the XLA conv path;
-tested against it in tests/test_csm.py.
+Numerically identical (up to f32 reduction order) to the XLA paths in
+kernels/csm.py.  Kept as a reference implementation: the im2col-matmul
+formulation there (_correlate_matmul) is faster on v5e because the
+contraction runs on the MXU while this kernel reduces on the VPU over
+unaligned static slices.
 """
 
 from __future__ import annotations

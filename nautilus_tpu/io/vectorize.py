@@ -158,6 +158,99 @@ def merge_colinear(segments, angle_tol: float = 0.05,
     return segs
 
 
+def join_corners(segments, max_gap: float = 0.5, min_angle: float = 0.3):
+    """Snap endpoints of nearby non-colinear segments to their line
+    intersection, closing wall corners RANSAC leaves slightly open.
+
+    Two segments whose directions differ by at least min_angle (radians)
+    and whose nearest endpoints lie within max_gap are both extended (or
+    trimmed) to the intersection of their infinite lines, provided the
+    intersection is itself within max_gap of both endpoints.
+    """
+    segs = [[np.asarray(a, np.float64).copy(), np.asarray(b, np.float64).copy()]
+            for a, b in segments]
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            a1, b1 = segs[i]
+            a2, b2 = segs[j]
+            d1, d2 = b1 - a1, b2 - a2
+            l1, l2 = np.linalg.norm(d1), np.linalg.norm(d2)
+            if l1 < 1e-9 or l2 < 1e-9:
+                continue
+            u1, u2 = d1 / l1, d2 / l2
+            cross = u1[0] * u2[1] - u1[1] * u2[0]
+            if np.arcsin(min(abs(cross), 1.0)) < min_angle:
+                continue          # near-colinear: merge_colinear's job
+            for ei in (0, 1):
+                for ej in (0, 1):
+                    p, q = segs[i][ei], segs[j][ej]
+                    if np.linalg.norm(p - q) > max_gap:
+                        continue
+                    t = np.linalg.solve(np.stack([u1, -u2], axis=1), a2 - a1)
+                    x = a1 + t[0] * u1
+                    if (np.linalg.norm(x - p) <= max_gap
+                            and np.linalg.norm(x - q) <= max_gap):
+                        segs[i][ei] = x.copy()
+                        segs[j][ej] = x.copy()
+    return [(a, b) for a, b in segs]
+
+
+def polyline_chains(segments, tol: float = 0.05):
+    """Group segments sharing endpoints (within tol) into polylines.
+
+    Returns a list of [k, 2] float arrays; a closed loop repeats its first
+    vertex at the end.  Purely an analysis/visualization view — the CSV
+    output contract stays per-segment (solver.cc:608-618).
+    """
+    if not segments:
+        return []
+    ends = np.array([[a, b] for a, b in segments], np.float64)  # [S, 2, 2]
+    flat = ends.reshape(-1, 2)                                  # [2S, 2]
+    # Union endpoints within tol (segment counts are small; O(n^2) is fine).
+    parent = list(range(len(flat)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    d = np.linalg.norm(flat[:, None, :] - flat[None, :, :], axis=-1)
+    for i, j in zip(*np.nonzero(d <= tol)):
+        if i < j:
+            parent[find(int(j))] = find(int(i))
+    node_of = [find(k) for k in range(len(flat))]
+    # Adjacency: node -> [(other_node, seg_idx)]
+    adj = {}
+    for s in range(len(segments)):
+        na, nb = node_of[2 * s], node_of[2 * s + 1]
+        adj.setdefault(na, []).append((nb, s))
+        adj.setdefault(nb, []).append((na, s))
+    used = [False] * len(segments)
+    chains = []
+
+    def walk(start):
+        chain = [flat[start]]
+        node = start
+        while True:
+            nxt = next(((n, s) for n, s in adj[node] if not used[s]), None)
+            if nxt is None:
+                break
+            node, seg = nxt
+            used[seg] = True
+            chain.append(flat[node])
+        return chain
+
+    # Open chains first (start at odd-degree nodes), then leftover cycles.
+    for node in sorted(adj, key=lambda n: flat[n].tolist()):
+        if len([1 for _, s in adj[node] if not used[s]]) % 2 == 1:
+            chains.append(np.array(walk(node)))
+    for s in range(len(segments)):
+        if not used[s]:
+            chains.append(np.array(walk(node_of[2 * s])))
+    return chains
+
+
 def fused_cloud(state) -> np.ndarray:
     """All clouds transformed by the current solution (solver.cc:584-589)."""
     pts = np.asarray(state.problem.points, np.float64)
@@ -173,12 +266,14 @@ def fused_cloud(state) -> np.ndarray:
 
 
 def vectorize(state, map_output_file=None, verbose: bool = True,
-              merge: bool = True, **extract_kw):
+              merge: bool = True, corners: bool = True, **extract_kw):
     """Full Vectorize flow (solver.cc:581-624): fuse, extract, write CSV."""
     cloud = fused_cloud(state)
     lines = extract_lines(cloud, **extract_kw)
     if merge:
         lines = merge_colinear(lines)
+    if corners:
+        lines = join_corners(lines)
     if verbose:
         print(f"Created map: Pointcloud size: {len(cloud)}\t"
               f"Lines size: {len(lines)}")

@@ -186,6 +186,67 @@ class TestMergeColinear:
         assert len(merge_colinear(segs)) == 2
 
 
+class TestJoinCorners:
+    def test_l_corner_snaps_to_intersection(self):
+        from nautilus_tpu.io.vectorize import join_corners
+        # Two walls stopping 0.2 m short of their shared corner at (2, 0).
+        segs = [(np.array([0.0, 0.0]), np.array([1.8, 0.0])),
+                (np.array([2.0, 0.2]), np.array([2.0, 3.0]))]
+        out = join_corners(segs)
+        np.testing.assert_allclose(out[0][1], [2.0, 0.0], atol=1e-9)
+        np.testing.assert_allclose(out[1][0], [2.0, 0.0], atol=1e-9)
+        # Untouched far endpoints.
+        np.testing.assert_allclose(out[0][0], [0.0, 0.0])
+        np.testing.assert_allclose(out[1][1], [2.0, 3.0])
+
+    def test_colinear_and_far_pairs_untouched(self):
+        from nautilus_tpu.io.vectorize import join_corners
+        segs = [(np.array([0.0, 0.0]), np.array([2.0, 0.0])),
+                (np.array([2.2, 0.0]), np.array([4.0, 0.0])),   # colinear
+                (np.array([6.0, 1.0]), np.array([6.0, 4.0]))]   # far corner
+        out = join_corners(segs)
+        for (a, b), (oa, ob) in zip(segs, out):
+            np.testing.assert_allclose(oa, a)
+            np.testing.assert_allclose(ob, b)
+
+
+class TestPolylineChains:
+    def test_open_chain(self):
+        from nautilus_tpu.io.vectorize import polyline_chains
+        segs = [(np.array([0.0, 0.0]), np.array([1.0, 0.0])),
+                (np.array([1.0, 0.0]), np.array([1.0, 1.0])),
+                (np.array([5.0, 5.0]), np.array([6.0, 5.0]))]  # separate
+        chains = polyline_chains(segs)
+        assert sorted(len(c) for c in chains) == [2, 3]
+
+    def test_closed_loop(self):
+        from nautilus_tpu.io.vectorize import polyline_chains
+        square = [(np.array([0.0, 0.0]), np.array([1.0, 0.0])),
+                  (np.array([1.0, 0.0]), np.array([1.0, 1.0])),
+                  (np.array([1.0, 1.0]), np.array([0.0, 1.0])),
+                  (np.array([0.0, 1.0]), np.array([0.0, 0.0]))]
+        chains = polyline_chains(square)
+        assert len(chains) == 1
+        # 4 segments walked end to end: 5 vertices, closed.
+        assert len(chains[0]) == 5
+        np.testing.assert_allclose(chains[0][0], chains[0][-1])
+
+    def test_square_room_end_to_end(self):
+        from nautilus_tpu.io.vectorize import (extract_lines, merge_colinear,
+                                               join_corners, polyline_chains)
+        xs = np.linspace(0, 4, 300)
+        walls = np.concatenate([
+            np.stack([xs, np.zeros_like(xs)], -1),
+            np.stack([xs, np.full_like(xs, 4.0)], -1),
+            np.stack([np.zeros_like(xs), xs], -1),
+            np.stack([np.full_like(xs, 4.0), xs], -1)])
+        segs = join_corners(merge_colinear(extract_lines(walls,
+                                                         min_inliers=50)))
+        chains = polyline_chains(segs, tol=0.1)
+        # The four walls close into one loop once corners are joined.
+        assert len(chains) == 1 and len(chains[0]) == len(segs) + 1
+
+
 class TestRosEncode:
     def test_pointcloud2_roundtrip(self, rng):
         from nautilus_tpu.viz.ros_encode import (decode_pointcloud2,

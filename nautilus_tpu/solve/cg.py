@@ -35,7 +35,16 @@ from nautilus_tpu.solve.lm import LMParams, LMResult
 
 class CGParams(NamedTuple):
     max_iterations: int = 100
-    tolerance: float = 1e-6     # relative residual
+    tolerance: float = 1e-6     # relative-residual floor
+    # Eisenstat–Walker forcing (choice 2): the inner solve only needs to be
+    # as tight as the outer Newton step warrants, eta_k = gamma *
+    # (|g_k| / |g_{k-1}|)^alpha, clamped to [tolerance, eta_max].  Early LM
+    # steps then stop CG after a handful of iterations instead of grinding
+    # to 1e-6 on a linearization that is about to be discarded.
+    ew_gamma: float = 0.9
+    ew_alpha: float = 1.6
+    ew_eta_max: float = 0.1
+    ew_enabled: bool = True
 
 
 def _linearize(x, graph: FactorGraph):
@@ -138,7 +147,7 @@ def lm_solve_cg(x0, graph: FactorGraph, fixed_dof,
 
     terms0, g0, diag0, cost0 = _linearize(x0, graph)
 
-    def solve_damped(terms, g, diag, radius, dx_prev):
+    def solve_damped(terms, g, diag, radius, dx_prev, eta):
         flat_diag = jnp.diagonal(diag, axis1=1, axis2=2).reshape(-1)
         d = jnp.clip(flat_diag, params.min_diagonal, params.max_diagonal)
         d = jnp.where(fixed_dof, 0.0, d) / radius
@@ -159,16 +168,30 @@ def lm_solve_cg(x0, graph: FactorGraph, fixed_dof,
 
         rhs = project(-g)
         dx = _cg(matvec, precond, rhs, cg_params.max_iterations,
-                 cg_params.tolerance, x0=project(dx_prev))
+                 eta, x0=project(dx_prev))
         return dx, d
 
+    def forcing(g, g_prev_norm):
+        """Eisenstat–Walker choice-2 inner tolerance for this LM step."""
+        if not cg_params.ew_enabled:
+            return jnp.asarray(cg_params.tolerance, dtype), g_prev_norm
+        gn = jnp.sqrt(jnp.dot(project(g), project(g), precision=HIGHEST))
+        eta = cg_params.ew_gamma * (gn / jnp.maximum(g_prev_norm, 1e-30)
+                                    ) ** cg_params.ew_alpha
+        # First iteration (g_prev_norm sentinel inf) starts loose.
+        eta = jnp.where(jnp.isfinite(g_prev_norm), eta, cg_params.ew_eta_max)
+        return jnp.clip(eta, cg_params.tolerance, cg_params.ew_eta_max), gn
+
     def cond(state):
-        x, terms, g, diag, cost, radius, divisor, it, done, dx_prev = state
+        (x, terms, g, diag, cost, radius, divisor, it, done, dx_prev,
+         g_prev_norm) = state
         return (~done) & (it < params.max_iterations) & (radius > params.min_radius)
 
     def body(state):
-        x, terms, g, diag, cost, radius, divisor, it, done, dx_prev = state
-        dx, d = solve_damped(terms, g, diag, radius, dx_prev)
+        (x, terms, g, diag, cost, radius, divisor, it, done, dx_prev,
+         g_prev_norm) = state
+        eta, g_norm = forcing(g, g_prev_norm)
+        dx, d = solve_damped(terms, g, diag, radius, dx_prev, eta)
         x_new = x + dx.reshape(m, 3)
         new_cost = total_cost(x_new, graph)
         hdx = _hvp(terms, dx, n_dof)
@@ -199,14 +222,17 @@ def lm_solve_cg(x0, graph: FactorGraph, fixed_dof,
         # linearization is nearby); from zero after a rejection (the next
         # system is more heavily damped).
         dx_next = jnp.where(accept, dx, jnp.zeros_like(dx))
+        # g (and thus the forcing ratio) only moves on accepted steps.
+        g_norm_next = jnp.where(accept, g_norm, g_prev_norm)
         return (x2, terms2, g2, diag2, cost2, radius_new, divisor_new,
-                it + 1, converged, dx_next)
+                it + 1, converged, dx_next, g_norm_next)
 
     init = (x0, terms0, g0, diag0, cost0,
             jnp.asarray(params.initial_radius, dtype),
             jnp.asarray(2.0, dtype), jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), jnp.zeros((n_dof,), dtype))
+            jnp.asarray(False), jnp.zeros((n_dof,), dtype),
+            jnp.asarray(jnp.inf, dtype))
     (x, terms, g, diag, cost, radius, divisor, it, done,
-     _dx) = jax.lax.while_loop(cond, body, init)
+     _dx, _gn) = jax.lax.while_loop(cond, body, init)
     return LMResult(x=x, cost=cost, initial_cost=cost0, iterations=it,
                     converged=done)

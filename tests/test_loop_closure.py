@@ -83,6 +83,41 @@ class TestCSM:
         assert float(s_match) > float(s_mismatch)
 
 
+class TestRefineDirect:
+    def test_matches_bruteforce_occupancy(self):
+        """Fine-stage scores equal the exact all-points Gaussian occupancy.
+
+        Guards the two approximations in _refine_direct: K-nearest neighbor
+        truncation and the separable-exponential einsum.
+        """
+        from nautilus_tpu.kernels.csm import _refine_direct, _nearest_targets
+        rng = np.random.default_rng(11)
+        src = rng.uniform(-3, 3, (40, 2)).astype(np.float32)
+        tgt = (src + rng.normal(0, 0.05, src.shape)).astype(np.float32)
+        mask = np.ones(40, bool)
+        mask[35:] = False
+        sigma, res, offs = 0.06, 0.02, 3
+        thetas = jnp.asarray([-0.01, 0.0, 0.01], jnp.float32)
+        nbr = _nearest_targets(jnp.asarray(src),
+                               jnp.where(mask[:, None], tgt, 1e3), k=40)
+        scores, (ty, tx) = _refine_direct(
+            jnp.asarray(src), jnp.asarray(mask), nbr, thetas, res, offs,
+            jnp.asarray(0.0), jnp.asarray(0.0), sigma)
+        # Brute force over ALL valid target points.
+        expected = np.zeros((3, 2 * offs + 1, 2 * offs + 1))
+        for r, th in enumerate(np.asarray(thetas)):
+            c, s = np.cos(th), np.sin(th)
+            rot = src @ np.array([[c, s], [-s, c]])
+            for iy, tyv in enumerate(np.asarray(ty)):
+                for ix, txv in enumerate(np.asarray(tx)):
+                    moved = rot + [txv, tyv]
+                    d2 = ((moved[:, None, :] - tgt[None, mask])**2).sum(-1)
+                    occ = np.clip(np.exp(-d2 / (2*sigma**2)).sum(1), 0, 1)
+                    expected[r, iy, ix] = (np.log(occ + 1e-6) * mask).sum()
+        np.testing.assert_allclose(np.asarray(scores), expected,
+                                   rtol=2e-4, atol=2e-4)
+
+
 class TestCandidateFilter:
     def test_spacing_and_spread(self):
         state, _ = make_problem(num_nodes=40, world_kind="building",

@@ -286,6 +286,31 @@ def _match_many(tables, A, MA, params):
         (A, MA), batch_size=2)
 
 
+def csm_match_pairs(points, masks, src_idx, tgt_idx,
+                    params: CSMParams = CSMParams()):
+    """Arbitrary (source, target) pair list in ONE device dispatch.
+
+    Pads the pair count to a power of two (repeating pair 0) so varying
+    loop-closure workloads reuse a handful of compiled shapes.  Preferred
+    over csm_match_grouped on this runtime: table building is cheap since
+    the fine stages went table-free, while each extra dispatch pays the
+    relay's ~35+ ms latency floor.
+    """
+    src_idx = np.asarray(src_idx)
+    tgt_idx = np.asarray(tgt_idx)
+    q = len(src_idx)
+    if q == 0:
+        return np.zeros(0, np.float32), np.zeros((0, 3), np.float32)
+    g = 1
+    while g < q:
+        g *= 2
+    pad = np.concatenate([np.arange(q), np.zeros(g - q, np.int64)])
+    s, tr = csm_match_batch(points[src_idx[pad]], masks[src_idx[pad]],
+                            points[tgt_idx[pad]], masks[tgt_idx[pad]],
+                            params)
+    return np.asarray(s)[:q], np.asarray(tr)[:q]
+
+
 def csm_match_grouped(points, masks, src_idx, tgt_idx,
                       params: CSMParams = CSMParams()):
     """Pair matching grouped by target: tables built once per unique target.

@@ -26,7 +26,7 @@ from typing import List, Tuple
 import numpy as np
 
 from nautilus_tpu.kernels.csm import (CSMParams, csm_match_batch,
-                                      csm_match_grouped)
+                                      csm_match_pairs)
 from nautilus_tpu.loop_closure.candidate import get_lc_candidates
 from nautilus_tpu.loop_closure.matcher import LCMatcher
 
@@ -190,13 +190,13 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     if not report.gated_pairs:
         return report
 
-    # CSM over gated pairs, grouped by target so lookup tables amortize.
+    # CSM over gated pairs: one padded device dispatch for the whole list.
     params = csm_params or _csm_params_from_config(cfg)
     pts = state.problem.points
     msk = state.problem.points_mask
     ss = np.array([p[0] for p in report.gated_pairs])
     tt = np.array([p[1] for p in report.gated_pairs])
-    scores, transforms = csm_match_grouped(pts, msk, ss, tt, params)
+    scores, transforms = csm_match_pairs(pts, msk, ss, tt, params)
     scores = np.asarray(scores)
     transforms = np.asarray(transforms, np.float64)
     threshold = float(cfg.csm_score_threshold)

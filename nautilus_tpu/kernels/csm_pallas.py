@@ -40,15 +40,21 @@ def _corr_kernel(table_ref, k_ref, out_ref, *, oh, ow, kh, kw):
     out_ref[0] = jnp.stack(rows)                   # [oh, ow]
 
 
-@functools.partial(jax.jit, static_argnames=())
-def correlate_pallas(table, kernels):
-    """table [H, W] f32; kernels [R, kh, kw] f32 -> [R, H-kh+1, W-kw+1]."""
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def correlate_pallas(table, kernels, interpret: bool = False):
+    """table [H, W] f32; kernels [R, kh, kw] f32 -> [R, H-kh+1, W-kw+1].
+
+    interpret=True runs the kernel in Pallas interpret mode (any backend) —
+    used by the CPU test suite to keep this reference implementation honest
+    against the XLA paths.
+    """
     h, w = table.shape
     r, kh, kw = kernels.shape
     oh, ow = h - kh + 1, w - kw + 1
     return pl.pallas_call(
         functools.partial(_corr_kernel, oh=oh, ow=ow, kh=kh, kw=kw),
         grid=(r,),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((h, w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -118,6 +118,21 @@ class TestRefineDirect:
                                    rtol=2e-4, atol=2e-4)
 
 
+class TestCorrelatePaths:
+    def test_pallas_matmul_conv_agree(self):
+        """The three coarse-correlation implementations agree bitwise-ish."""
+        from nautilus_tpu.kernels.csm import _correlate, _correlate_matmul
+        from nautilus_tpu.kernels.csm_pallas import correlate_pallas
+        rng = np.random.default_rng(3)
+        table = jnp.asarray(rng.normal(size=(46, 46)), jnp.float32)
+        kernels = jnp.asarray(rng.normal(size=(5, 32, 32)), jnp.float32)
+        a = np.asarray(_correlate_matmul(table, kernels))
+        b = np.asarray(_correlate(table, kernels))
+        c = np.asarray(correlate_pallas(table, kernels, interpret=True))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-4)
+
+
 class TestCandidateFilter:
     def test_spacing_and_spread(self):
         state, _ = make_problem(num_nodes=40, world_kind="building",

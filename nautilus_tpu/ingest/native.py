@@ -25,6 +25,11 @@ _BZ2_CANDIDATES = [
     "/usr/lib/libbz2.so.1",
     "/lib/x86_64-linux-gnu/libbz2.so.1",
 ]
+_LZ4_CANDIDATES = [
+    "/usr/lib/x86_64-linux-gnu/liblz4.so.1",
+    "/usr/lib/liblz4.so.1",
+    "/lib/x86_64-linux-gnu/liblz4.so.1",
+]
 
 _lib = None
 _build_failed = False
@@ -34,8 +39,10 @@ def _build() -> bool:
     bz2 = next((c for c in _BZ2_CANDIDATES if Path(c).exists()), None)
     if bz2 is None:
         return False
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-           str(_SRC_PATH), bz2, "-o", str(_SO_PATH)]
+    lz4 = next((c for c in _LZ4_CANDIDATES if Path(c).exists()), None)
+    extra = [lz4] if lz4 else ["-DNTBAG_NO_LZ4"]
+    cmd = (["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+            str(_SRC_PATH), bz2] + extra + ["-o", str(_SO_PATH)])
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True

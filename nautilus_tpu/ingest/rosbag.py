@@ -260,6 +260,9 @@ def read_bag(path, topics: Optional[List[str]] = None) -> Iterator[BagMessage]:
             compression = header.get(b"compression", b"none")
             if compression == b"bz2":
                 data = bz2.decompress(data)
+            elif compression == b"lz4":
+                from nautilus_tpu.ingest import lz4f
+                data = lz4f.decompress(data)
             elif compression != b"none":
                 raise ValueError(f"Unsupported chunk compression: {compression}")
             for ih, idata in _iter_records(data):
@@ -367,8 +370,12 @@ def _record(header: Dict[bytes, bytes], data: bytes) -> bytes:
             + data)
 
 
-def write_bag(path, messages: List[Tuple[str, float, object]]) -> None:
-    """Write (topic, time, msg) tuples as an uncompressed single-chunk bag."""
+def write_bag(path, messages: List[Tuple[str, float, object]],
+              compression: str = "none") -> None:
+    """Write (topic, time, msg) tuples as a single-chunk bag.
+
+    compression: "none" (default), "bz2", or "lz4" (rosbag's standard
+    codec set; lz4 frames via ingest/lz4f.py)."""
     chunk = bytearray()
     conn_ids: Dict[str, int] = {}
     for topic, t, msg in messages:
@@ -399,7 +406,16 @@ def write_bag(path, messages: List[Tuple[str, float, object]]) -> None:
     # rosbag pads the bag header record to 4096 bytes with spaces.
     bh = _record(bag_header, b" " * 4096)
     out += bh
-    chunk_header = {b"op": bytes([OP_CHUNK]), b"compression": b"none",
+    payload = bytes(chunk)
+    if compression == "bz2":
+        payload = bz2.compress(payload)
+    elif compression == "lz4":
+        from nautilus_tpu.ingest import lz4f
+        payload = lz4f.compress(payload)
+    elif compression != "none":
+        raise ValueError(f"Unsupported chunk compression: {compression}")
+    chunk_header = {b"op": bytes([OP_CHUNK]),
+                    b"compression": compression.encode(),
                     b"size": struct.pack("<I", len(chunk))}
-    out += _record(chunk_header, bytes(chunk))
+    out += _record(chunk_header, payload)
     Path(path).write_bytes(bytes(out))

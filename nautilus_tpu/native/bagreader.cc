@@ -22,8 +22,71 @@
 extern "C" int BZ2_bzBuffToBuffDecompress(char* dest, unsigned* destLen,
                                           char* source, unsigned sourceLen,
                                           int small, int verbosity);
+#ifndef NTBAG_NO_LZ4
+extern "C" int LZ4_decompress_safe(const char* src, char* dst,
+                                   int compressedSize, int dstCapacity);
+extern "C" int LZ4_decompress_safe_usingDict(const char* src, char* dst,
+                                             int compressedSize,
+                                             int dstCapacity,
+                                             const char* dictStart,
+                                             int dictSize);
+#endif
 
 namespace {
+
+#ifndef NTBAG_NO_LZ4
+// Decode one LZ4 frame (rosbag lz4 chunks = roslz4's "lz4s" stream, which
+// is the standard LZ4 Frame Format).  Checksums are skipped, not verified.
+// Returns true on success.
+bool lz4_frame_decompress(const uint8_t* src, size_t n,
+                          std::vector<char>* out) {
+  if (n < 7) return false;
+  uint32_t magic;
+  std::memcpy(&magic, src, 4);
+  if (magic != 0x184D2204u) return false;
+  uint8_t flg = src[4], bd = src[5];
+  if ((flg >> 6) != 1) return false;
+  bool block_indep = flg & 0x20;
+  bool block_checksum = flg & 0x10;
+  bool content_size = flg & 0x08;
+  int bmax_code = (bd >> 4) & 0x7;
+  if (bmax_code < 4 || bmax_code > 7) return false;
+  size_t block_max = 1u << (2 * bmax_code + 8);  // 4->64KB ... 7->4MB
+  size_t pos = 6 + (content_size ? 8 : 0) + 1;   // + header checksum byte
+  std::vector<char> block_out(block_max);
+  while (true) {
+    if (pos + 4 > n) return false;
+    uint32_t size;
+    std::memcpy(&size, src + pos, 4);
+    pos += 4;
+    if (size == 0) break;
+    bool stored = size & 0x80000000u;
+    size &= 0x7FFFFFFFu;
+    if (pos + size > n) return false;
+    if (stored) {
+      out->insert(out->end(), src + pos, src + pos + size);
+    } else {
+      int rc;
+      if (block_indep) {
+        rc = LZ4_decompress_safe(
+            reinterpret_cast<const char*>(src + pos), block_out.data(),
+            static_cast<int>(size), static_cast<int>(block_max));
+      } else {
+        size_t dict = out->size() < 65536 ? out->size() : 65536;
+        rc = LZ4_decompress_safe_usingDict(
+            reinterpret_cast<const char*>(src + pos), block_out.data(),
+            static_cast<int>(size), static_cast<int>(block_max),
+            out->data() + out->size() - dict, static_cast<int>(dict));
+      }
+      if (rc < 0) return false;
+      out->insert(out->end(), block_out.data(), block_out.data() + rc);
+    }
+    pos += size;
+    if (block_checksum) pos += 4;
+  }
+  return true;
+}
+#endif
 
 struct Scan {
   double stamp;
@@ -244,6 +307,20 @@ void handle_one(const HeaderFields& h, const uint8_t* data, size_t dlen,
       } else {
         bag->error = "bz2 decompression failed";
       }
+#ifndef NTBAG_NO_LZ4
+    } else if (*comp == "lz4") {
+      std::vector<char> out;
+      const std::string* size_s = h.get("size");
+      uint32_t usize = 0;
+      if (size_s && size_s->size() >= 4) std::memcpy(&usize, size_s->data(), 4);
+      out.reserve(usize);
+      if (lz4_frame_decompress(data, dlen, &out)) {
+        handle_records(reinterpret_cast<const uint8_t*>(out.data()),
+                       out.size(), lidar, odom, conns, order, bag, true);
+      } else {
+        bag->error = "lz4 decompression failed";
+      }
+#endif
     } else {
       bag->error = "unsupported chunk compression: " + *comp;
     }

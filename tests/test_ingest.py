@@ -74,6 +74,50 @@ class TestBagRoundtrip:
         with pytest.raises(ValueError):
             list(rb.read_bag(p))
 
+    @pytest.mark.parametrize("compression", ["bz2", "lz4"])
+    def test_compressed_chunk_roundtrip(self, tmp_path, compression):
+        """rosbag's standard codec set (main.cc:54-67 gets it via librosbag)."""
+        from nautilus_tpu.ingest import lz4f
+        if compression == "lz4" and not lz4f.available():
+            pytest.skip("liblz4 not present")
+        msgs = [
+            ("/odom", 1.0, _odom(1.0, 2.0, 0.3)),
+            ("/scan", 1.1, _scan(np.linspace(1, 5, 360))),
+        ]
+        path = tmp_path / f"t_{compression}.bag"
+        rb.write_bag(path, msgs, compression=compression)
+        out = list(rb.read_bag(path))
+        assert [m.topic for m in out] == ["/odom", "/scan"]
+        np.testing.assert_allclose(out[0].msg.position[:2], [1.0, 2.0])
+        np.testing.assert_allclose(out[1].msg.ranges,
+                                   np.linspace(1, 5, 360), rtol=1e-6)
+
+
+class TestLz4Frame:
+    def test_xxh32_reference_vectors(self):
+        from nautilus_tpu.ingest import lz4f
+        assert lz4f.xxh32(b"") == 0x02CC5D05
+        assert lz4f.xxh32(b"abc") == 0x32D153FF
+
+    @pytest.mark.parametrize("payload", [
+        b"",
+        b"hello lz4 frame " * 3,
+        bytes(range(256)) * 1024,                  # 256 KB, multi-block
+        np.random.default_rng(3).bytes(100_000),   # incompressible blocks
+    ])
+    def test_frame_roundtrip(self, payload):
+        from nautilus_tpu.ingest import lz4f
+        if not lz4f.available():
+            pytest.skip("liblz4 not present")
+        assert lz4f.decompress(lz4f.compress(payload)) == payload
+
+    def test_bad_magic_rejected(self):
+        from nautilus_tpu.ingest import lz4f
+        if not lz4f.available():
+            pytest.skip("liblz4 not present")
+        with pytest.raises(ValueError):
+            lz4f.decompress(b"\x00\x01\x02\x03\x04\x05\x06\x07")
+
 
 class TestBuilderSemantics:
     def test_quaternion_yaw(self):

@@ -52,6 +52,32 @@ def test_differential_messages(tmp_path):
         assert a.msg.dx == pytest.approx(b.msg.dx, abs=1e-6)
 
 
+@pytest.mark.parametrize("compression", ["bz2", "lz4"])
+def test_compressed_chunk_parity(tmp_path, compression):
+    from nautilus_tpu.ingest import lz4f
+    if compression == "lz4" and not lz4f.available():
+        pytest.skip("liblz4 not present")
+    path = tmp_path / f"c_{compression}.bag"
+    scan = rb.LaserScanMsg(
+        header=rb.HeaderMsg(0, 2.0, "laser"),
+        angle_min=-np.pi, angle_max=np.pi, angle_increment=2 * np.pi / 360,
+        time_increment=0.0, scan_time=0.1, range_min=0.02, range_max=30.0,
+        ranges=np.linspace(1, 9, 360).astype(np.float32),
+        intensities=np.zeros(0, np.float32))
+    odom = rb.OdometryMsg(
+        header=rb.HeaderMsg(0, 2.1, "odom"), child_frame_id="base",
+        position=np.array([1.0, 2.0, 0.0]),
+        orientation=np.array([0.0, 0.0, 0.0, 1.0]),
+        twist_linear=np.zeros(3), twist_angular=np.zeros(3))
+    rb.write_bag(path, [("/scan", 2.0, scan), ("/odom", 2.1, odom)],
+                 compression=compression)
+    nat = read_bag_native(path, "/scan", "/odom")
+    py = list(rb.read_bag(path, topics=["/scan", "/odom"]))
+    assert len(nat) == len(py) == 2
+    np.testing.assert_array_equal(nat[0].msg.ranges, py[0].msg.ranges)
+    np.testing.assert_allclose(nat[1].msg.position, py[1].msg.position)
+
+
 def test_bad_file_raises(tmp_path):
     p = tmp_path / "bad.bag"
     p.write_bytes(b"garbage")

@@ -85,6 +85,10 @@ def main(argv=None) -> int:
                     help="write map_output_file after solving")
     ap.add_argument("--interactive", action="store_true",
                     help="stdin command loop (hitl/write/vectorize/quit)")
+    ap.add_argument("--ros", action="store_true",
+                    help="subscribe to the reference's command topics "
+                         "(hitl_lc_topic, /write_output, /vectorize_output) "
+                         "via rospy and spin (main.cc:204-213)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
     verbose = not args.quiet
@@ -106,7 +110,14 @@ def main(argv=None) -> int:
             print("Loading solution poses.")
         load_solution(state, args.solution_poses, verbose=verbose)
 
-    solver = Solver(state, cfg)
+    visualizer = None
+    if args.ros:
+        from nautilus_tpu.viz.visualizer import RosBridgeVisualizer
+        visualizer = RosBridgeVisualizer()
+        if not visualizer.available:
+            print("--ros requested but rospy is not importable.")
+            return 1
+    solver = Solver(state, cfg, visualizer=visualizer)
     t0 = time.perf_counter()
     stats = solver.solve_slam()
     if verbose:
@@ -131,6 +142,13 @@ def main(argv=None) -> int:
             print(f"Wrote poses to {cfg.pose_output_file}")
     if args.vectorize:
         vectorize(state, cfg.map_output_file, verbose=verbose)
+
+    if args.ros:
+        from nautilus_tpu.viz.bridge import RosInputBridge
+        bridge = RosInputBridge(solver, cfg, verbose=verbose)
+        bridge.start()
+        bridge.spin()
+        return 0
 
     if args.interactive:
         if verbose:

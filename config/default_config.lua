@@ -62,3 +62,8 @@ nc_mean_distance=0.1                 -- sample-budget constant
 nc_bin_number=32                     -- angular bins (Hough variant only)
 
 sampling_distance=0.25               -- kept for surface parity
+
+-- ===== Engine extensions (nautilus_tpu only; absent keys default) =====
+solver_dtype="float32"               -- device solve precision; "float64"
+                                     -- runs the XLA-emulated double path
+                                     -- matching Ceres' native precision

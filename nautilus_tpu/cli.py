@@ -27,7 +27,10 @@ from pathlib import Path
 
 def build_state(cfg, args, verbose=True):
     from nautilus_tpu.core.preprocess import preprocess
-    from nautilus_tpu.core.problem import SLAMState, build_problem
+    from nautilus_tpu.core.problem import (SLAMState, build_problem,
+                                           resolve_solver_dtype)
+
+    dtype = resolve_solver_dtype(cfg.get("solver_dtype", "float32"))
 
     if args.synthetic:
         from nautilus_tpu.ingest.synthetic import synthesize
@@ -50,7 +53,7 @@ def build_state(cfg, args, verbose=True):
     t0 = time.perf_counter()
     normals, pi, pm, ei, em, _ = preprocess(raw.points, raw.points_mask,
                                             config=cfg)
-    problem = build_problem(raw, normals, pi, pm, ei, em)
+    problem = build_problem(raw, normals, pi, pm, ei, em, dtype=dtype)
     if verbose:
         print(f"Preprocessed (normals + features) in "
               f"{time.perf_counter() - t0:.2f}s.")

@@ -268,7 +268,9 @@ def _greedy_select(points, order, ok, max_count: int, dist_threshold: float):
         accept = ok[cand] & clear & (count < k)
         slot = jnp.where(accept, count, k - 1)
         new_pts = jax.lax.dynamic_update_index_in_dim(sel_pts, jnp.where(accept, p, sel_pts[slot]), slot, 0)
-        new_idx = jax.lax.dynamic_update_index_in_dim(sel_idx, jnp.where(accept, cand, sel_idx[slot]), slot, 0)
+        # cand may be int64 under jax x64 mode; sel_idx stays int32.
+        cand32 = cand.astype(sel_idx.dtype)
+        new_idx = jax.lax.dynamic_update_index_in_dim(sel_idx, jnp.where(accept, cand32, sel_idx[slot]), slot, 0)
         return (new_pts, new_idx, count + accept.astype(count.dtype)), None
 
     init = (far, jnp.zeros((k,), dtype=jnp.int32), jnp.zeros((), jnp.int32))

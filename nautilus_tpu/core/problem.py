@@ -152,6 +152,27 @@ def pad_clouds(clouds, pad_multiple: int = 128):
     return points, mask
 
 
+def resolve_solver_dtype(name) -> jnp.dtype:
+    """Map the ``solver_dtype`` config key to a device dtype.
+
+    float32 (default) is the TPU-native engine precision, verified against
+    the f64 CPU twin at <=1% final-cost parity with precision=HIGHEST
+    matmuls.  float64 is the escape hatch matching Ceres' native doubles
+    (SURVEY.md §7 hard part (b)): XLA:TPU emulates f64 (slow but exact),
+    so a dataset that ever broke f32 parity can still be solved on device.
+    Requesting float64 enables jax's x64 mode process-wide (must happen
+    before the arrays are created; jax.config.update handles it live).
+    """
+    name = str(name).lower()
+    if name in ("float32", "f32"):
+        return jnp.float32
+    if name in ("float64", "f64", "double"):
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    raise ValueError(f"solver_dtype must be float32 or float64, got {name!r}")
+
+
 def build_problem(raw: RawNodes, normals: np.ndarray,
                   planar_idx: np.ndarray, planar_mask: np.ndarray,
                   edge_idx: np.ndarray, edge_mask: np.ndarray,

@@ -78,6 +78,55 @@ def _solve_damped(H, g, fixed_dof, radius, params: LMParams):
     return dx, Hg, gg
 
 
+def _lm_cond(state, params: LMParams):
+    (x, H, g, cost, radius, divisor, it, done) = state
+    return (~done) & (it < params.max_iterations) & (radius > params.min_radius)
+
+
+def _lm_body(state, assemble_fn, cost_fn, fixed_dof, params: LMParams):
+    """One LM trust-region step (pure; shared by the fused while_loop and
+    the host-stepped per-iteration-visualization mode)."""
+    (x, H, g, cost, radius, divisor, it, done) = state
+    m = x.shape[0]
+    dtype = x.dtype
+    dx, Hg, gg = _solve_damped(H, g, fixed_dof, radius, params)
+    x_new = x + dx.reshape(m, 3)
+    new_cost = cost_fn(x_new)
+    # Model decrease of 0.5|r + J dx|^2: -(g.dx + 0.5 dx.H.dx).
+    model_decrease = -(jnp.dot(gg, dx, precision=jax.lax.Precision.HIGHEST)
+                       + 0.5 * jnp.dot(dx, jnp.matmul(
+                           Hg, dx, precision=jax.lax.Precision.HIGHEST)))
+    actual_decrease = cost - new_cost
+    finite = jnp.all(jnp.isfinite(dx)) & jnp.isfinite(new_cost)
+    rho = actual_decrease / jnp.maximum(model_decrease, 1e-300 if dtype == jnp.float64 else 1e-30)
+    accept = finite & (model_decrease > 0) & (rho > params.min_relative_decrease)
+
+    # Trust-region update (Ceres LevenbergMarquardtStrategy).
+    grow = 1.0 / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+    radius_acc = jnp.minimum(radius * grow, params.max_radius)
+    radius_rej = radius / divisor
+    radius_new = jnp.where(accept, radius_acc, radius_rej)
+    divisor_new = jnp.where(accept, 2.0, divisor * 2.0)
+
+    # Re-assemble only on accepted steps.
+    H2, g2, cost2 = jax.lax.cond(
+        accept, assemble_fn, lambda _: (H, g, cost), x_new)
+    x2 = jnp.where(accept, x_new, x)
+
+    converged = accept & (jnp.abs(actual_decrease)
+                          <= params.function_tolerance * cost)
+    return (x2, H2, g2, cost2, radius_new, divisor_new, it + 1, converged)
+
+
+def _lm_init(x0, assemble_fn, params: LMParams):
+    dtype = x0.dtype
+    H0, g0, cost0 = assemble_fn(x0)
+    return (x0, H0, g0, cost0,
+            jnp.asarray(params.initial_radius, dtype),
+            jnp.asarray(2.0, dtype), jnp.asarray(0, jnp.int32),
+            jnp.asarray(False))
+
+
 def lm_loop(x0, assemble_fn, cost_fn, fixed_dof,
             params: LMParams = LMParams()) -> LMResult:
     """LM loop over pluggable assembly/cost functions (for sharded variants).
@@ -85,51 +134,12 @@ def lm_loop(x0, assemble_fn, cost_fn, fixed_dof,
     assemble_fn(x) -> (H, g, cost); cost_fn(x) -> cost.  Both must be pure
     and jit-traceable; the caller jits the whole loop.
     """
-    m = x0.shape[0]
-    dtype = x0.dtype
-
-    H0, g0, cost0 = assemble_fn(x0)
-
-    def cond(state):
-        (x, H, g, cost, radius, divisor, it, done) = state
-        return (~done) & (it < params.max_iterations) & (radius > params.min_radius)
-
-    def body(state):
-        (x, H, g, cost, radius, divisor, it, done) = state
-        dx, Hg, gg = _solve_damped(H, g, fixed_dof, radius, params)
-        x_new = x + dx.reshape(m, 3)
-        new_cost = cost_fn(x_new)
-        # Model decrease of 0.5|r + J dx|^2: -(g.dx + 0.5 dx.H.dx).
-        model_decrease = -(jnp.dot(gg, dx, precision=jax.lax.Precision.HIGHEST)
-                           + 0.5 * jnp.dot(dx, jnp.matmul(
-                               Hg, dx, precision=jax.lax.Precision.HIGHEST)))
-        actual_decrease = cost - new_cost
-        finite = jnp.all(jnp.isfinite(dx)) & jnp.isfinite(new_cost)
-        rho = actual_decrease / jnp.maximum(model_decrease, 1e-300 if dtype == jnp.float64 else 1e-30)
-        accept = finite & (model_decrease > 0) & (rho > params.min_relative_decrease)
-
-        # Trust-region update (Ceres LevenbergMarquardtStrategy).
-        grow = 1.0 / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        radius_acc = jnp.minimum(radius * grow, params.max_radius)
-        radius_rej = radius / divisor
-        radius_new = jnp.where(accept, radius_acc, radius_rej)
-        divisor_new = jnp.where(accept, 2.0, divisor * 2.0)
-
-        # Re-assemble only on accepted steps.
-        H2, g2, cost2 = jax.lax.cond(
-            accept, assemble_fn, lambda _: (H, g, cost), x_new)
-        x2 = jnp.where(accept, x_new, x)
-
-        converged = accept & (jnp.abs(actual_decrease)
-                              <= params.function_tolerance * cost)
-        return (x2, H2, g2, cost2, radius_new, divisor_new, it + 1, converged)
-
-    init = (x0, H0, g0, cost0,
-            jnp.asarray(params.initial_radius, dtype),
-            jnp.asarray(2.0, dtype), jnp.asarray(0, jnp.int32),
-            jnp.asarray(False))
+    init = _lm_init(x0, assemble_fn, params)
+    cost0 = init[3]
     (x, H, g, cost, radius, divisor, it, done) = jax.lax.while_loop(
-        cond, body, init)
+        lambda s: _lm_cond(s, params),
+        lambda s: _lm_body(s, assemble_fn, cost_fn, fixed_dof, params),
+        init)
     return LMResult(x=x, cost=cost, initial_cost=cost0, iterations=it,
                     converged=done)
 
@@ -147,6 +157,44 @@ def lm_solve(x0, graph: FactorGraph, fixed_dof,
         assemble_fn=lambda x: assemble_normal_equations(x, graph),
         cost_fn=lambda x: total_cost(x, graph),
         fixed_dof=fixed_dof, params=params)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _lm_init_jit(x0, graph: FactorGraph, params: LMParams):
+    return _lm_init(x0, lambda x: assemble_normal_equations(x, graph),
+                    params)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _lm_step_jit(state, graph: FactorGraph, fixed_dof, params: LMParams):
+    return _lm_body(state,
+                    lambda x: assemble_normal_equations(x, graph),
+                    lambda x: total_cost(x, graph), fixed_dof, params)
+
+
+def lm_solve_stepped(x0, graph: FactorGraph, fixed_dof,
+                     params: LMParams = LMParams(),
+                     iteration_callback=None) -> LMResult:
+    """LM driven one jitted step at a time from the host, invoking
+    iteration_callback(x, cost, iteration) after every step.
+
+    The opt-in equivalent of the reference's per-iteration redraw
+    (ceres::IterationCallback, solver_vis.h:18-22).  Identical update
+    schedule to lm_solve — same _lm_body — but pays one dispatch per LM
+    iteration, so it is a debugging mode, not the production path.  Host
+    stepping (rather than jax.debug.callback inside the fused loop) is
+    deliberate: the axon TPU relay does not support host callbacks.
+    """
+    state = _lm_init_jit(x0, graph, params)
+    cost0 = state[3]
+    while bool(_lm_cond(state, params)):
+        state = _lm_step_jit(state, graph, fixed_dof, params)
+        if iteration_callback is not None:
+            (x, _, _, cost, _, _, it, _) = state
+            iteration_callback(x, cost, int(it))
+    (x, H, g, cost, radius, divisor, it, done) = state
+    return LMResult(x=x, cost=cost, initial_cost=cost0, iterations=it,
+                    converged=done)
 
 
 def fixed_pose_mask(num_dofs_poses: int, fixed_pose: int = 0) -> jnp.ndarray:

@@ -101,7 +101,8 @@ class Solver:
     def __init__(self, state: SLAMState, config, visualizer=None,
                  lm_params: Optional[LMParams] = None,
                  linear_solver: str = "auto",
-                 use_normal_gate: bool = False):
+                 use_normal_gate: bool = False,
+                 per_iteration_viz: bool = False):
         """linear_solver: 'dense' (Cholesky normal equations — fastest up
         to a few thousand poses), 'cg' (matrix-free PCG, solve/cg.py — for
         graphs where dense H no longer fits), or 'auto'.
@@ -109,12 +110,20 @@ class Solver:
         use_normal_gate enables normal-similarity gating in correspondence
         search (the reference's GetPointToNormalMatching,
         solver.cc:177-260 — defined but unused in its hot path, so off by
-        default for parity)."""
+        default for parity).
+
+        per_iteration_viz: opt-in debugging mode redrawing the visualizer
+        after EVERY LM iteration (the reference's ceres::IterationCallback
+        behavior, solver_vis.h:18-22) instead of once per window.  Routes
+        the solve through the host-loop path and ships poses to the host
+        each step — for parity debugging, not production."""
         self.state = state
         self.config = config
         self.visualizer = visualizer
         self.lm_params = lm_params or LMParams()
         self.use_normal_gate = use_normal_gate
+        self.per_iteration_viz = per_iteration_viz and visualizer is not None
+        self._viz_window = None
         n = state.num_nodes
         if linear_solver == "auto":
             linear_solver = "dense" if n <= 2500 else "cg"
@@ -328,6 +337,12 @@ class Solver:
                 from nautilus_tpu.solve.cg import lm_solve_cg
                 res: LMResult = lm_solve_cg(x, graph, fixed,
                                             params=self.lm_params)
+            elif self.per_iteration_viz:
+                from nautilus_tpu.solve.lm import lm_solve_stepped
+                self._viz_window = window
+                res = lm_solve_stepped(x, graph, fixed,
+                                       params=self.lm_params,
+                                       iteration_callback=self._iteration_viz)
             else:
                 res = lm_solve(x, graph, fixed, params=self.lm_params)
             x = res.x
@@ -362,6 +377,12 @@ class Solver:
         self.state.solution = host[:n]
         if L:
             self.state.line_poses = host[n:n + L]
+
+    def _iteration_viz(self, x, cost, iteration):
+        """lm_solve_stepped callback: redraw after one LM step."""
+        del cost, iteration
+        self._writeback(np.asarray(x))
+        self.visualizer.draw_solution(self.state, window=self._viz_window)
 
 
 @functools.partial(jax.jit,

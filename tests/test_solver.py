@@ -226,6 +226,50 @@ class TestAllMode:
         last = stats.windows[-1]
         assert last.final_cost <= last.initial_cost
 
+    def test_chunked_matches_unchunked(self):
+        """Device-mapped chunking (one dispatch) == direct association."""
+        from nautilus_tpu.solve import correspond
+        state, _ = make_problem(num_nodes=8, world_kind="room",
+                                num_beams=180, seed=7,
+                                odom_noise_trans=0.02, odom_noise_rot=0.01)
+        problem = state.problem
+        pairs = correspond.make_pairs(problem.num_nodes, 3)
+        x = jnp.asarray(state.solution, problem.points.dtype)
+        full = correspond.associate(
+            problem, x, jnp.asarray(pairs.src), jnp.asarray(pairs.tgt),
+            2, 0.25, feature="all")
+        chunked = correspond.associate_chunked(
+            problem, x, pairs, 2, 0.25, feature="all", chunk=4)
+        q = len(pairs.src)
+        np.testing.assert_array_equal(np.asarray(full.mask),
+                                      np.asarray(chunked.mask)[:q])
+        m = np.asarray(full.mask)
+        np.testing.assert_allclose(np.asarray(full.tgt_pts)[m],
+                                   np.asarray(chunked.tgt_pts)[:q][m],
+                                   atol=1e-6)
+        # padded rows beyond q are fully masked
+        assert not np.asarray(chunked.mask)[q:].any()
+
+
+class TestPerIterationViz:
+    def test_redraw_every_lm_iteration(self):
+        """Opt-in ceres::IterationCallback parity (solver_vis.h:18-22):
+        one draw per LM step, not per window."""
+        from nautilus_tpu.viz.visualizer import SnapshotVisualizer
+        state, _ = make_problem(num_nodes=8, world_kind="room",
+                                num_beams=180, seed=7,
+                                odom_noise_trans=0.02, odom_noise_rot=0.01)
+        cfg = load_config_text(DEFAULTS).replace(
+            lidar_constraint_amount_max=2.0)
+        vis = SnapshotVisualizer(record_clouds=False)
+        solver = Solver(state, cfg, visualizer=vis, per_iteration_viz=True)
+        stats = solver.solve_slam()
+        total_iters = sum(w.iterations for w in stats.windows)
+        n_windows = len(stats.windows)
+        # initial draw + per-window draws + one per LM iteration
+        assert len(vis.snapshots) == 1 + n_windows + total_iters
+        assert total_iters > n_windows  # the mode actually added redraws
+
 
 class TestGradients:
     def test_residual_gradients_match_finite_differences(self, rng):

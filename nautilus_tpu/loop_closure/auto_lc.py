@@ -123,19 +123,34 @@ def best_scan_match(state, source: int, scans, params: CSMParams = CSMParams()):
     return float(scores[k]), int(scans[k]), np.asarray(transforms[k])
 
 
-def descriptor_gate(state, pairs, threshold: float):
+def descriptor_gate(state, pairs, threshold: float,
+                    use_learned_embedding: bool = None):
     """Optional scan-descriptor pre-gate (the reference's
     match_laser_scans service role; threshold = config lc_match_threshold).
-    Returns the subset of pairs whose rotation-invariant descriptor
-    similarity passes the threshold."""
+    Returns the subset of pairs whose similarity passes the threshold.
+
+    Scorer selection: the trained embedding (loop_closure/embedding.py,
+    the match_laser_scans model equivalent) when its weights file exists,
+    else the hand descriptor (learned.match_score).
+    use_learned_embedding=True/False forces the choice (config key
+    lc_use_learned_embedding)."""
+    from nautilus_tpu.loop_closure import embedding
     from nautilus_tpu.loop_closure.learned import match_score
+    params = None
+    if use_learned_embedding is None or use_learned_embedding:
+        params = embedding.load_params()
+        if params is None and use_learned_embedding:
+            raise FileNotFoundError(
+                f"lc_use_learned_embedding=true but no weights at "
+                f"{embedding.default_weights_path()}")
     pts = state.problem.points
     msk = state.problem.points_mask
-    kept = []
-    for s, t in pairs:
-        if float(match_score(pts[s], msk[s], pts[t], msk[t])) >= threshold:
-            kept.append((s, t))
-    return kept
+    if params is not None:
+        score = lambda s, t: embedding.embedding_match_score(
+            params, pts[s], msk[s], pts[t], msk[t])
+    else:
+        score = lambda s, t: match_score(pts[s], msk[s], pts[t], msk[t])
+    return [(s, t) for s, t in pairs if float(score(s, t)) >= threshold]
 
 
 def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
@@ -182,8 +197,9 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
         solver.visualizer.draw_covariances(covs)
     if use_descriptor_gate and report.gated_pairs:
         report.gated_pairs = descriptor_gate(
-            state, report.gated_pairs, float(cfg.get("lc_match_threshold",
-                                                     0.5)))
+            state, report.gated_pairs,
+            float(cfg.get("lc_match_threshold", 0.5)),
+            use_learned_embedding=cfg.get("lc_use_learned_embedding", None))
         if verbose:
             print(f"Auto-LC: {len(report.gated_pairs)} pairs pass the "
                   f"descriptor gate.")

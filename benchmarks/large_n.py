@@ -24,7 +24,10 @@ def run_one(nodes, beams, solver_kind, cfg, make_problem, Solver):
                             num_beams=beams, seed=1,
                             odom_noise_trans=0.02, odom_noise_rot=0.008)
     x0 = state.solution.copy()
-    solver = Solver(state, cfg, linear_solver=solver_kind)
+    # Host window loop for BOTH solvers: comparable dispatch structure, and
+    # the fused whole-sweep graph hits pathological remote compiles at this
+    # scale (observed: N=2000 fused compile >60 min through the relay).
+    solver = Solver(state, cfg, linear_solver=solver_kind, fused_sweep=False)
     t0 = time.perf_counter()
     solver.solve_slam()                   # compile warm-up
     cold = time.perf_counter() - t0

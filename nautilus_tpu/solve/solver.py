@@ -102,7 +102,8 @@ class Solver:
                  lm_params: Optional[LMParams] = None,
                  linear_solver: str = "auto",
                  use_normal_gate: bool = False,
-                 per_iteration_viz: bool = False):
+                 per_iteration_viz: bool = False,
+                 fused_sweep: Optional[bool] = None):
         """linear_solver: 'dense' (Cholesky normal equations — fastest up
         to a few thousand poses), 'cg' (matrix-free PCG, solve/cg.py — for
         graphs where dense H no longer fits), or 'auto'.
@@ -124,6 +125,12 @@ class Solver:
         self.use_normal_gate = use_normal_gate
         self.per_iteration_viz = per_iteration_viz and visualizer is not None
         self._viz_window = None
+        # fused_sweep: None = auto (fused when eligible); False forces the
+        # host window loop (one SMALL compiled program reused across
+        # windows — the whole-sweep fused graph can hit pathological
+        # multi-hundred-second XLA compiles at N >~ 2000 through the
+        # remote-compile relay); True asserts eligibility.
+        self.fused_sweep = fused_sweep
         n = state.num_nodes
         if linear_solver == "auto":
             linear_solver = "dense" if n <= 2500 else "cg"
@@ -257,8 +264,14 @@ class Solver:
         (association + LM for every window inside a lax.fori_loop) — zero
         host round-trips between windows.
         """
-        if (self.visualizer is None and optimization_type == "feature"
-                and self.linear_solver == "dense"):
+        eligible = (self.visualizer is None
+                    and optimization_type == "feature"
+                    and self.linear_solver == "dense"
+                    and not self.per_iteration_viz)
+        if self.fused_sweep:
+            assert eligible, ("fused_sweep=True requires no visualizer, "
+                              "feature mode, and the dense solver")
+        if eligible and self.fused_sweep is not False:
             return self._solve_slam_fused()
         return self._solve_slam_host_loop(optimization_type)
 

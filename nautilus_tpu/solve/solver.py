@@ -133,7 +133,13 @@ class Solver:
         self.fused_sweep = fused_sweep
         n = state.num_nodes
         if linear_solver == "auto":
-            linear_solver = "dense" if n <= 2500 else "cg"
+            # Crossover measured on v5e (benchmarks/LARGE_N.md): dense
+            # Cholesky beats matrix-free PCG by >20x at every scale dense
+            # H fits (4.9 s vs 115 s at N=2000; still ~8 s at N=3000), so
+            # the switch point is the dense-H memory wall, not speed:
+            # ~3 live (3N)^2 f32 copies during LM -> ~10 GB at N=10000 on
+            # a 16 GB chip.  Reference scales top out at 1200 poses.
+            linear_solver = "dense" if n <= 8000 else "cg"
         self.linear_solver = linear_solver
         self.pairs = correspond.make_pairs(
             n, config.get_int("lidar_constraint_amount_max"))

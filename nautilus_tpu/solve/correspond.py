@@ -43,12 +43,22 @@ class PairList(NamedTuple):
 
 
 def make_pairs(num_nodes: int, max_window: int) -> PairList:
-    """All pairs (i, j) with i - max_window <= j < i (solver.cc:324-331)."""
+    """All pairs (i, j) with i - max_window <= j < i (solver.cc:324-331).
+
+    The pair SET matches the reference enumeration; the ORDER is
+    delta-major — for each delta = i - j in 1..max_window, all pairs
+    (i, i - delta) with i ascending and contiguous.  Factor order is
+    irrelevant to the least-squares problem, and this layout lets
+    normal-equation assembly accumulate each delta's 6x6 blocks as
+    contiguous slice adds into a block band instead of a scatter
+    (factors.BandLayout) — the dominant device cost of the LM loop
+    (benchmarks/PROFILE.md).
+    """
     src, tgt = [], []
-    for i in range(num_nodes):
-        for j in range(max(i - max_window, 0), i):
+    for d in range(1, max_window + 1):
+        for i in range(d, num_nodes):
             src.append(i)
-            tgt.append(j)
+            tgt.append(i - d)
     return PairList(np.asarray(src, np.int32), np.asarray(tgt, np.int32))
 
 

@@ -254,21 +254,137 @@ def _accumulate_two_pose(H, g, term):
     return H, g
 
 
-def assemble_normal_equations(x, graph: FactorGraph):
+def assemble_normal_equations(x, graph: FactorGraph,
+                              layout: "BandLayout" = None):
     """Build dense Gauss-Newton normal equations.
 
-    Returns (H [3M, 3M], g [3M], cost scalar).  The scatter-add of 6x6
-    factor blocks is the TPU-native replacement for Ceres' block-sparse
-    Jacobian assembly + SPARSE_SCHUR elimination (solver.cc:269): at pose
-    counts up to a few thousand, one dense Cholesky on the MXU beats a
-    sparse factorization's irregular memory access.
+    Returns (H [3M, 3M], g [3M], cost scalar).  This is the TPU-native
+    replacement for Ceres' block-sparse Jacobian assembly + SPARSE_SCHUR
+    elimination (solver.cc:269): at pose counts up to a few thousand, one
+    dense Cholesky on the MXU beats a sparse factorization's irregular
+    memory access.
+
+    With ``layout`` (static BandLayout; requires the delta-major pair
+    order of correspond.make_pairs) the planar/edge correspondence blocks
+    — the bulk of the factor count — accumulate into a block band via
+    contiguous pad+add and the band is expanded to dense H by a
+    pad/reshape/slice trick: ZERO scatters on the hot path.  Profiling
+    showed the generic scatter-add dominating the whole LM loop
+    (benchmarks/PROFILE.md); odometry/HITL factors (few, irregular
+    indices) keep the scatter path.  Without ``layout`` every factor type
+    goes through the generic scatter (order-independent).
     """
     m = x.shape[0]
     n_dof = 3 * m
     H = jnp.zeros((n_dof, n_dof), x.dtype)
     g = jnp.zeros((n_dof,), x.dtype)
     cost = jnp.zeros((), x.dtype)
-    for term in _graph_factor_terms(x, graph):
-        H, g = _accumulate_two_pose(H, g, term)
-        cost = cost + 0.5 * jnp.sum(term[0] * term[0])
+    if layout is None or layout.w < 1:
+        for term in _graph_factor_terms(x, graph):
+            H, g = _accumulate_two_pose(H, g, term)
+            cost = cost + 0.5 * jnp.sum(term[0] * term[0])
+        return H, g, cost
+
+    # Irregular factors (odometry, HITL lines): generic scatter.
+    od, ht = graph.odom, graph.hitl
+    for term in (linearize_two_pose(x, od.i, od.j, odom_residual,
+                                    (od.trans, od.rot, od.mask, od.wt,
+                                     od.wr)),
+                 linearize_two_pose(x, ht.node, ht.line, hitl_residual,
+                                    (ht.points, ht.mask, ht.seg_start,
+                                     ht.seg_end))):
+        if term is not None:
+            H, g = _accumulate_two_pose(H, g, term)
+            cost = cost + 0.5 * jnp.sum(term[0] * term[0])
+
+    # Correspondence factors: banded accumulation.
+    pl, ed = graph.planar, graph.edge
+    corr_terms = [t for t in (
+        linearize_two_pose(x, pl.src, pl.tgt, normal_residual,
+                           (pl.src_pts, pl.tgt_pts, pl.src_nrm, pl.tgt_nrm,
+                            pl.mask)),
+        linearize_two_pose(x, ed.src, ed.tgt, point_residual,
+                           (ed.src_pts, ed.tgt_pts, ed.mask)),
+    ) if t is not None]
+    if corr_terms:
+        diag, band, gd, cost_c = _accumulate_banded(x, corr_terms, layout)
+        cost = cost + cost_c
+        n3 = 3 * layout.n
+        Hb = _band_to_dense(diag, band, layout)
+        H = H.at[:n3, :n3].add(Hb)
+        g = g.at[:n3].add(gd.reshape(n3))
     return H, g, cost
+
+
+class BandLayout(NamedTuple):
+    """Static description of the delta-major pair layout (make_pairs).
+
+    Pairs for delta = i - j occupy rows [offsets()[d-1], offsets()[d]) of
+    the correspondence arrays, with i = d..n-1 ascending and contiguous.
+    ``w`` must be min(max_window, n - 1).  Hashable -> usable as a jit
+    static argument.
+    """
+
+    n: int
+    w: int
+
+    def offsets(self):
+        offs = [0]
+        for d in range(1, self.w + 1):
+            offs.append(offs[-1] + max(self.n - d, 0))
+        return offs
+
+
+def _accumulate_banded(x, corr_terms, layout: BandLayout):
+    """Accumulate correspondence factor blocks into block-band form.
+
+    Returns (diag [n,3,3], band list of w [n,3,3] arrays where band[d-1]
+    holds block (i, i-d) stored at row i, gdiag [n,3], cost).  All adds
+    are contiguous pads — no scatter.
+    """
+    n, w = layout.n, layout.w
+    offs = layout.offsets()
+    dtype = x.dtype
+    diag = jnp.zeros((n, 3, 3), dtype)
+    band = [jnp.zeros((n, 3, 3), dtype) for _ in range(w)]
+    gd = jnp.zeros((n, 3), dtype)
+    cost = jnp.zeros((), dtype)
+    for r, J, _dof in corr_terms:
+        cost = cost + 0.5 * jnp.sum(r * r)
+        gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)    # [Q, 6]
+        Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)  # [Q, 6, 6]
+        for d in range(1, w + 1):
+            cnt = n - d
+            if cnt <= 0:
+                break
+            s = offs[d - 1]
+            Hd = Hq[s:s + cnt]
+            gqd = gq[s:s + cnt]
+            pre, post = ((d, 0),), ((0, d),)   # rows i=d..n-1 / j=0..n-1-d
+            z3 = ((0, 0), (0, 0))
+            diag = diag + jnp.pad(Hd[:, :3, :3], pre + z3)
+            diag = diag + jnp.pad(Hd[:, 3:, 3:], post + z3)
+            band[d - 1] = band[d - 1] + jnp.pad(Hd[:, :3, 3:], pre + z3)
+            gd = gd + jnp.pad(gqd[:, :3], pre + (z3[0],))
+            gd = gd + jnp.pad(gqd[:, 3:], post + (z3[0],))
+    return diag, band, gd, cost
+
+
+def _band_to_dense(diag, band, layout: BandLayout):
+    """Expand block band -> dense [3n, 3n] H without scatter.
+
+    Builds S [n, w+1, 3, 3] with S[i, k] = block (i, j = i - w + k)
+    (k = w - delta; k = w is the diagonal, halved).  Padding S's block-
+    column axis to n+1 and flattening makes flat index i*(n+1) + k equal
+    the dense block index i*n + j shifted by the constant w, so one
+    static slice + reshape materializes the strictly-lower-banded block
+    matrix; H = D + D^T restores symmetry (diagonal blocks of J^T J are
+    symmetric, so the halved diagonal doubles back exactly).
+    """
+    n, w = layout.n, layout.w
+    S = jnp.stack(list(reversed(band)) + [0.5 * diag], axis=1)
+    S = jnp.pad(S, ((0, 0), (0, n - w), (0, 0), (0, 0)))  # [n, n+1, 3, 3]
+    flat = S.reshape(n * (n + 1), 3, 3)
+    D = jax.lax.slice(flat, (w, 0, 0), (w + n * n, 3, 3)).reshape(n, n, 3, 3)
+    Dh = D.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+    return Dh + Dh.T

@@ -144,37 +144,40 @@ def lm_loop(x0, assemble_fn, cost_fn, fixed_dof,
                     converged=done)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("params", "layout"))
 def lm_solve(x0, graph: FactorGraph, fixed_dof,
-             params: LMParams = LMParams()) -> LMResult:
+             params: LMParams = LMParams(), layout=None) -> LMResult:
     """Run LM to convergence from x0 [M, 3] (single-device assembly).
 
     fixed_dof: [3M] bool — gauge-fixed degrees of freedom.  Factor weights
-    live inside the graph (OdomFactors.wt/wr).
+    live inside the graph (OdomFactors.wt/wr).  layout: optional static
+    factors.BandLayout enabling scatter-free banded assembly (requires
+    delta-major correspondence order).
     """
     return lm_loop(
         x0,
-        assemble_fn=lambda x: assemble_normal_equations(x, graph),
+        assemble_fn=lambda x: assemble_normal_equations(x, graph, layout),
         cost_fn=lambda x: total_cost(x, graph),
         fixed_dof=fixed_dof, params=params)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def _lm_init_jit(x0, graph: FactorGraph, params: LMParams):
-    return _lm_init(x0, lambda x: assemble_normal_equations(x, graph),
+@functools.partial(jax.jit, static_argnames=("params", "layout"))
+def _lm_init_jit(x0, graph: FactorGraph, params: LMParams, layout=None):
+    return _lm_init(x0, lambda x: assemble_normal_equations(x, graph, layout),
                     params)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def _lm_step_jit(state, graph: FactorGraph, fixed_dof, params: LMParams):
+@functools.partial(jax.jit, static_argnames=("params", "layout"))
+def _lm_step_jit(state, graph: FactorGraph, fixed_dof, params: LMParams,
+                 layout=None):
     return _lm_body(state,
-                    lambda x: assemble_normal_equations(x, graph),
+                    lambda x: assemble_normal_equations(x, graph, layout),
                     lambda x: total_cost(x, graph), fixed_dof, params)
 
 
 def lm_solve_stepped(x0, graph: FactorGraph, fixed_dof,
                      params: LMParams = LMParams(),
-                     iteration_callback=None) -> LMResult:
+                     iteration_callback=None, layout=None) -> LMResult:
     """LM driven one jitted step at a time from the host, invoking
     iteration_callback(x, cost, iteration) after every step.
 
@@ -185,10 +188,10 @@ def lm_solve_stepped(x0, graph: FactorGraph, fixed_dof,
     stepping (rather than jax.debug.callback inside the fused loop) is
     deliberate: the axon TPU relay does not support host callbacks.
     """
-    state = _lm_init_jit(x0, graph, params)
+    state = _lm_init_jit(x0, graph, params, layout)
     cost0 = state[3]
     while bool(_lm_cond(state, params)):
-        state = _lm_step_jit(state, graph, fixed_dof, params)
+        state = _lm_step_jit(state, graph, fixed_dof, params, layout)
         if iteration_callback is not None:
             (x, _, _, cost, _, _, it, _) = state
             iteration_callback(x, cost, int(it))

@@ -141,10 +141,15 @@ class Solver:
             # a 16 GB chip.  Reference scales top out at 1200 poses.
             linear_solver = "dense" if n <= 8000 else "cg"
         self.linear_solver = linear_solver
-        self.pairs = correspond.make_pairs(
-            n, config.get_int("lidar_constraint_amount_max"))
+        w_max = config.get_int("lidar_constraint_amount_max")
+        self.pairs = correspond.make_pairs(n, w_max)
         self._pair_src = jnp.asarray(self.pairs.src)
         self._pair_tgt = jnp.asarray(self.pairs.tgt)
+        # Static band layout of the delta-major pair list: enables
+        # scatter-free normal-equation assembly (factors.BandLayout).
+        from nautilus_tpu.solve.factors import BandLayout
+        w_eff = min(w_max, n - 1)
+        self._layout = BandLayout(n, w_eff) if w_eff >= 1 else None
 
     # -- graph construction -------------------------------------------------
 
@@ -293,12 +298,15 @@ class Solver:
         dtype = self._dtype()
         outlier = jnp.asarray(cfg.outlier_threshold, dtype)
         t0 = time.perf_counter()
-        x_out, init_costs, final_costs, iters = _fused_sweep(
+        out = _fused_sweep(
             x, problem, self._pair_src, self._pair_tgt, odom, hitl, fixed,
-            outlier, w_min, w_max, self.lm_params, self.use_normal_gate)
-        x_out.block_until_ready()
+            outlier, w_min, w_max, self.lm_params, self.use_normal_gate,
+            self._layout)
+        # One batched host fetch (the finite flag is computed on device so
+        # the NaN guard does not cost an extra relay dispatch).
+        x_out, init_costs, final_costs, iters, finite = jax.device_get(out)
         wall = time.perf_counter() - t0
-        if not bool(jnp.all(jnp.isfinite(x_out))):
+        if not bool(finite):
             raise FloatingPointError(
                 "Non-finite poses after solve; check odometry/scan inputs.")
         stats = SolveStats()
@@ -329,7 +337,8 @@ class Solver:
             from nautilus_tpu.solve.cg import lm_solve_cg
             res = lm_solve_cg(x, graph, fixed, params=self.lm_params)
         else:
-            res = lm_solve(x, graph, fixed, params=self.lm_params)
+            res = lm_solve(x, graph, fixed, params=self.lm_params,
+                           layout=self._layout)
         res.x.block_until_ready()
         stats.windows.append(WindowStats(
             window=w, initial_cost=float(res.initial_cost),
@@ -361,9 +370,11 @@ class Solver:
                 self._viz_window = window
                 res = lm_solve_stepped(x, graph, fixed,
                                        params=self.lm_params,
-                                       iteration_callback=self._iteration_viz)
+                                       iteration_callback=self._iteration_viz,
+                                       layout=self._layout)
             else:
-                res = lm_solve(x, graph, fixed, params=self.lm_params)
+                res = lm_solve(x, graph, fixed, params=self.lm_params,
+                               layout=self._layout)
             x = res.x
             x.block_until_ready()
             # NaN guard (replaces the reference's ceres::IsFinite CHECKs,
@@ -406,10 +417,10 @@ class Solver:
 
 @functools.partial(jax.jit,
                    static_argnames=("w_min", "w_max", "lm_params",
-                                    "use_normal_gate"))
+                                    "use_normal_gate", "layout"))
 def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
                  w_min: int, w_max: int, lm_params,
-                 use_normal_gate: bool = False):
+                 use_normal_gate: bool = False, layout=None):
     """OptimizeOverGrowingWindow as one device program.
 
     The window size is a runtime value inside the fori_loop (it only enters
@@ -436,7 +447,8 @@ def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
         graph = FactorGraph(odom=odom, planar=planar, edge=edge, hitl=hitl)
         res = lm_loop(
             x,
-            assemble_fn=lambda xx: assemble_normal_equations(xx, graph),
+            assemble_fn=lambda xx: assemble_normal_equations(xx, graph,
+                                                             layout),
             cost_fn=lambda xx: total_cost(xx, graph),
             fixed_dof=fixed, params=lm_params)
         return (res.x,
@@ -447,4 +459,4 @@ def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
     init = (x, jnp.zeros(n_windows, x.dtype), jnp.zeros(n_windows, x.dtype),
             jnp.zeros(n_windows, jnp.int32))
     x, ic, fc, it = jax.lax.fori_loop(0, n_windows, window_body, init)
-    return x, ic, fc, it
+    return x, ic, fc, it, jnp.all(jnp.isfinite(x))

@@ -99,7 +99,7 @@ def test_sharded_sweep_matches_fused(setup):
     hitl = empty_hitl(solver._dtype())
     outlier = jnp.asarray(0.25, x.dtype)
 
-    x1, ic1, fc1, it1 = _fused_sweep(
+    x1, ic1, fc1, it1, _finite = _fused_sweep(
         x, state.problem, solver._pair_src, solver._pair_tgt, odom, hitl,
         fixed, outlier, 1, 3, solver.lm_params)
 

@@ -321,3 +321,55 @@ class TestNormalGate:
         assert np.isfinite(stats.final_cost)
         last = stats.windows[-1]
         assert last.final_cost <= last.initial_cost
+
+
+class TestBandedAssembly:
+    """Scatter-free banded assembly == generic scatter assembly."""
+
+    def _graph_and_layout(self, with_hitl=False):
+        from nautilus_tpu.solve.factors import BandLayout
+        state, _ = make_problem(num_nodes=9, world_kind="room",
+                                num_beams=240, seed=3,
+                                odom_noise_trans=0.03, odom_noise_rot=0.01)
+        cfg = load_config_text(DEFAULTS)
+        if with_hitl:
+            from nautilus_tpu.solve.hitl import HitlConstraint
+            pts = np.asarray(state.problem.points, np.float64)
+            state.hitl_constraints.append(HitlConstraint(
+                line_a=(np.array([0.0, -0.5]), np.array([3.0, -0.5])),
+                line_b=(np.array([0.0, -0.45]), np.array([3.0, -0.45])),
+                line_a_poses=[(1, pts[1][:12]), (4, pts[4][:9])],
+                line_b_poses=[(6, pts[6][:7])],
+                line_pose_index=0))
+            state.line_poses = np.zeros((1, 3))
+        solver = Solver(state, cfg)
+        x = solver._current_x()
+        graph = solver.build_graph(x, window=3)
+        return x, graph, solver._layout
+
+    @pytest.mark.parametrize("with_hitl", [False, True])
+    def test_matches_scatter(self, with_hitl):
+        x, graph, layout = self._graph_and_layout(with_hitl)
+        H0, g0, c0 = assemble_normal_equations(x, graph)
+        H1, g1, c1 = assemble_normal_equations(x, graph, layout)
+        np.testing.assert_allclose(np.asarray(H1), np.asarray(H0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(c1), float(c0), rtol=1e-6)
+
+    def test_matches_scatter_all_path(self):
+        """OptimizationType::ALL graphs (padded tail rows) agree too."""
+        state, _ = make_problem(num_nodes=7, world_kind="room",
+                                num_beams=180, seed=11,
+                                odom_noise_trans=0.02, odom_noise_rot=0.01)
+        cfg = load_config_text(DEFAULTS)
+        solver = Solver(state, cfg)
+        x = solver._current_x()
+        graph = solver.build_graph(x, window=2, optimization_type="all")
+        H0, g0, c0 = assemble_normal_equations(x, graph)
+        H1, g1, c1 = assemble_normal_equations(x, graph, solver._layout)
+        np.testing.assert_allclose(np.asarray(H1), np.asarray(H0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-5, atol=1e-5)

@@ -1,0 +1,284 @@
+"""Block-band Cholesky solver for the SLAM normal equations.
+
+The pose graph's lidar/odometry factors only couple nodes within the
+window (|i - j| <= w, reference BuildOptimizationOverWindow
+solver.cc:321-333), so H is block-banded with 3x3 blocks and block
+half-bandwidth w.  This module factors and solves the damped system
+directly in band form:
+
+- memory O(N w) instead of O(N^2): the dense-H wall (~8000 poses on a
+  16 GB chip) disappears — 100k+ pose graphs fit easily;
+- the LM while-loop carry shrinks from a [3N, 3N] dense H (whose
+  per-iteration copies dominated the round-2 profile after assembly was
+  fixed, benchmarks/PROFILE.md) to [w+1, N, 3, 3] band blocks;
+- factorization work drops from O(N^3) dense Cholesky to O(N s^2) block
+  tridiagonal Cholesky.
+
+HITL free line poses (reference data_structures.h:46) couple a handful
+of extra dofs to arbitrary nodes, which would break the band; they are
+handled as a dense border via the Schur complement on the (tiny) line
+block — algebraically identical to solving the full dense system.
+
+Representation
+--------------
+BandedSystem:
+  diag  [N, 3, 3]     block (i, i)
+  band  [w, N, 3, 3]  band[d-1][i] = block (i, i-d), zero where i < d
+  g     [N, 3]        gradient on node dofs
+  C     [N, L, 3, 3]  node-line coupling blocks (border), or L = 0
+  E     [L, 3, 3]     line-line diagonal blocks (factors touch one line)
+  gl    [L, 3]        gradient on line dofs
+
+Factorization: group s >= w block rows into superblocks of S = 3s dofs;
+the superblock matrix is block tridiagonal (diagonal A_k, sub-diagonal
+B_k), factored by a lax.scan of Cholesky + triangular solves:
+
+  L_0 L_0^T = A_0;   C_k = B_k L_{k-1}^{-T};   L_k L_k^T = A_k - C_k C_k^T
+
+followed by forward/backward substitution scans.  All per-step ops are
+small dense matmuls/factorizations — MXU-friendly, no scatters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class BandedSystem(NamedTuple):
+    diag: jnp.ndarray            # [N, 3, 3]
+    band: jnp.ndarray            # [w, N, 3, 3]
+    g: jnp.ndarray               # [N, 3]
+    C: Optional[jnp.ndarray]     # [N, L, 3, 3] or None
+    E: Optional[jnp.ndarray]     # [L, 3, 3] or None
+    gl: Optional[jnp.ndarray]    # [L, 3] or None
+
+    @property
+    def n(self):
+        return self.diag.shape[0]
+
+    @property
+    def w(self):
+        return self.band.shape[0]
+
+    @property
+    def num_lines(self):
+        return 0 if self.C is None else self.C.shape[1]
+
+
+def band_matvec(sys: BandedSystem, v, vl=None):
+    """H @ [v; vl] in band+border form.  v [N, 3] (+ vl [L, 3]) -> same."""
+    out = jnp.einsum("nij,nj->ni", sys.diag, v, precision=HIGHEST)
+    w = sys.w
+    for d in range(1, w + 1):
+        b = sys.band[d - 1]                      # block (i, i-d) at row i
+        # lower: out[i] += b[i] @ v[i-d]
+        vd = jnp.pad(v[:-d], ((d, 0), (0, 0)))
+        out = out + jnp.einsum("nij,nj->ni", b, vd, precision=HIGHEST)
+        # upper: out[i-d] += b[i]^T @ v[i]
+        up = jnp.einsum("nji,nj->ni", b, v, precision=HIGHEST)
+        out = out + jnp.pad(up[d:], ((0, d), (0, 0)))
+    if sys.num_lines and vl is not None:
+        out = out + jnp.einsum("nlij,lj->ni", sys.C, vl, precision=HIGHEST)
+        outl = (jnp.einsum("nlij,ni->lj", sys.C, v, precision=HIGHEST)
+                + jnp.einsum("lij,lj->li", sys.E, vl, precision=HIGHEST))
+        return out, outl
+    return out, None
+
+
+def _apply_gauge_band(sys: BandedSystem, fixed):
+    """Zero fixed rows/cols with unit diagonal (lm._apply_gauge in band
+    form).  fixed: [3N + 3L] bool."""
+    n, w = sys.n, sys.w
+    fr = fixed[:3 * n].reshape(n, 3)
+    keep = (~fr).astype(sys.diag.dtype)
+    diag = sys.diag * keep[:, :, None] * keep[:, None, :]
+    diag = diag + jax.vmap(jnp.diag)(fr.astype(sys.diag.dtype))
+    band = []
+    for d in range(1, w + 1):
+        kj = jnp.pad(keep[:-d], ((d, 0), (0, 0)), constant_values=0.0)
+        band.append(sys.band[d - 1] * keep[:, :, None] * kj[:, None, :])
+    band = jnp.stack(band) if band else sys.band
+    g = sys.g * keep
+    C, E, gl = sys.C, sys.E, sys.gl
+    if sys.num_lines:
+        L = sys.num_lines
+        fl = fixed[3 * n:3 * (n + L)].reshape(L, 3)
+        keepl = (~fl).astype(diag.dtype)
+        C = C * keep[:, None, :, None] * keepl[None, :, None, :]
+        E = E * keepl[:, :, None] * keepl[:, None, :]
+        E = E + jax.vmap(jnp.diag)(fl.astype(diag.dtype))
+        gl = gl * keepl
+    return BandedSystem(diag, band, g, C, E, gl)
+
+
+def _superblock_tridiag(sys: BandedSystem, s: int):
+    """Assemble superblock tridiagonal (A [K, S, S], B [K, S, S]) from the
+    band, S = 3 s, K = ceil(n / s).  Pure broadcast/pad ops, no scatter.
+
+    A_k = H[k*S:(k+1)*S, k*S:(k+1)*S]; B_k = H[k*S:(k+1)*S, (k-1)*S:k*S]
+    (B_0 = 0).  Requires s >= w so the band never spans more than one
+    superblock boundary.
+    """
+    n, w = sys.n, sys.w
+    assert s >= w, (s, w)
+    K = -(-n // s)
+    pad_n = K * s - n
+    dtype = sys.diag.dtype
+
+    def padn(x):
+        return jnp.pad(x, ((0, pad_n),) + ((0, 0),) * (x.ndim - 1))
+
+    diag = padn(sys.diag)
+    # Padded tail rows get unit diagonal so the factorization stays SPD.
+    if pad_n:
+        eye_tail = (jnp.arange(K * s) >= n).astype(dtype)
+        diag = diag + eye_tail[:, None, None] * jnp.eye(3, dtype=dtype)
+
+    # Lower triangle of A and all of B from band levels; k indexes
+    # superblocks, a/b index block rows/cols within a superblock.
+    A = jnp.zeros((K, s, s, 3, 3), dtype)
+    B = jnp.zeros((K, s, s, 3, 3), dtype)
+    ar = jnp.arange(s)
+    # Halved diagonal: A_full = A_low + A_low^T below.
+    A = A + (0.5 * diag).reshape(K, s, 3, 3)[:, :, None] \
+        * jnp.eye(s, dtype=dtype)[None, :, :, None, None]
+    for d in range(1, w + 1):
+        lvl = padn(sys.band[d - 1]).reshape(K, s, 3, 3)   # block (i, i-d)@i
+        in_a = (ar[:, None] - ar[None, :] == d).astype(dtype)   # a - b == d
+        A = A + lvl[:, :, None] * in_a[None, :, :, None, None]
+        in_b = (s + ar[:, None] - ar[None, :] == d).astype(dtype)
+        B = B + lvl[:, :, None] * in_b[None, :, :, None, None]
+    A = A + jnp.einsum("kabij->kbaji", A)
+    S = 3 * s
+    A = A.transpose(0, 1, 3, 2, 4).reshape(K, S, S)
+    B = B.transpose(0, 1, 3, 2, 4).reshape(K, S, S)
+    return A, B, K, pad_n
+
+
+def _tridiag_cholesky(A, B):
+    """Factor the superblock tridiagonal: returns (Ls [K, S, S] diagonal
+    Cholesky factors, Cs [K, S, S] sub-diagonal factors, C_0 = 0)."""
+    S = A.shape[1]
+    eyeS = jnp.eye(S, dtype=A.dtype)
+
+    def step(L_prev, ab):
+        a, b = ab
+        # C_k = B_k L_{k-1}^{-T}  ==  (L_{k-1}^{-1} B_k^T)^T
+        c = jsl.solve_triangular(L_prev, b.T, lower=True).T
+        l = jnp.linalg.cholesky(a - jnp.matmul(c, c.T, precision=HIGHEST))
+        return l, (l, c)
+
+    # k = 0 has B_0 = 0 -> C_0 = 0 regardless of the identity init carry.
+    _, (Ls, Cs) = jax.lax.scan(step, eyeS, (A, B))
+    return Ls, Cs
+
+
+def _tridiag_solve(Ls, Cs, r):
+    """Solve (L L^T) x = r given the tridiagonal factors.  r [K, S, m]."""
+    S = Ls.shape[1]
+    m = r.shape[-1]
+
+    def fwd(y_prev, lcr):
+        l, c, rk = lcr
+        y = jsl.solve_triangular(
+            l, rk - jnp.matmul(c, y_prev, precision=HIGHEST), lower=True)
+        return y, y
+
+    y0 = jnp.zeros((S, m), r.dtype)
+    _, ys = jax.lax.scan(fwd, y0, (Ls, Cs, r))
+
+    # Backward: x_k = L_k^{-T} (y_k - C_{k+1}^T x_{k+1})
+    Cs_next = jnp.concatenate([Cs[1:], jnp.zeros_like(Cs[:1])])
+
+    def bwd(x_next, lcy):
+        l, c_next, yk = lcy
+        x = jsl.solve_triangular(
+            l.T, yk - jnp.matmul(c_next.T, x_next, precision=HIGHEST),
+            lower=False)
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, y0, (Ls, Cs_next, ys), reverse=True)
+    return xs
+
+
+class BandFactorization(NamedTuple):
+    Ls: jnp.ndarray
+    Cs: jnp.ndarray
+    K: int
+    pad_n: int
+    s: int
+
+
+def band_factor(sys: BandedSystem, s: int) -> BandFactorization:
+    A, B, K, pad_n = _superblock_tridiag(sys, s)
+    Ls, Cs = _tridiag_cholesky(A, B)
+    return BandFactorization(Ls, Cs, K, pad_n, s)
+
+
+def band_apply_inverse(fac: BandFactorization, r):
+    """Hb^{-1} r for r [N, 3, m] (multi-RHS) or [N, 3] -> same shape."""
+    squeeze = r.ndim == 2
+    if squeeze:
+        r = r[..., None]
+    n = r.shape[0]
+    m = r.shape[-1]
+    rk = jnp.pad(r, ((0, fac.K * fac.s - n), (0, 0), (0, 0)))
+    rk = rk.reshape(fac.K, fac.s * 3, m)
+    x = _tridiag_solve(fac.Ls, fac.Cs, rk)
+    x = x.reshape(fac.K * fac.s, 3, m)[:n]
+    return x[..., 0] if squeeze else x
+
+
+def solve_damped_banded(sys: BandedSystem, fixed, radius, params,
+                        superblock: int = 16):
+    """Solve (H + D/radius) dx = -g in band(+border) form.
+
+    Mirrors lm._solve_damped: LM-scaled damping on the clipped diagonal,
+    gauge by fixed-dof masking, non-PD surfaces as NaNs (rejected step).
+    Returns (dx [N,3], dxl [L,3] or None, gauged system).
+    """
+    sysg = _apply_gauge_band(sys, fixed)
+    n = sysg.n
+    # Damping: d = clip(diag(H)); fixed dofs keep their unit diagonal.
+    dvec = jnp.clip(jax.vmap(jnp.diag)(sysg.diag),
+                    params.min_diagonal, params.max_diagonal)
+    fr = fixed[:3 * n].reshape(n, 3)
+    dvec = jnp.where(fr, 0.0, dvec)
+    diag = sysg.diag + jax.vmap(jnp.diag)(dvec / radius)
+    dsys = sysg._replace(diag=diag)
+
+    s = max(superblock, sysg.w)
+    fac = band_factor(dsys, s)
+
+    L = sysg.num_lines
+    if not L:
+        dx = band_apply_inverse(fac, -sysg.g)
+        return dx, None, sysg
+
+    # Bordered solve via Schur complement on the line block.
+    El = sysg.E
+    dl_damp = jnp.clip(jax.vmap(jnp.diag)(El),
+                       params.min_diagonal, params.max_diagonal)
+    fl = fixed[3 * n:3 * (n + L)].reshape(L, 3)
+    dl_damp = jnp.where(fl, 0.0, dl_damp)
+    El = El + jax.vmap(jnp.diag)(dl_damp / radius)
+    E_dense = jsl.block_diag(*[El[i] for i in range(L)])
+
+    C2 = sysg.C.transpose(0, 2, 1, 3).reshape(n, 3, 3 * L)   # [N, 3, 3L]
+    rhs = jnp.concatenate([C2, -sysg.g[..., None]], axis=-1)
+    sol = band_apply_inverse(fac, rhs)                        # [N, 3, 3L+1]
+    Y, u = sol[..., :3 * L], sol[..., 3 * L]                  # Hb^-1 C, -Hb^-1 g
+    CtY = jnp.einsum("nim,nik->mk", C2, Y, precision=HIGHEST)
+    Ctu = jnp.einsum("nim,ni->m", C2, u, precision=HIGHEST)
+    S_schur = E_dense - CtY
+    rl = -sysg.gl.reshape(3 * L) - Ctu
+    cf = jsl.cho_factor(S_schur)
+    dxl = jsl.cho_solve(cf, rl)
+    dx = u - jnp.einsum("nim,m->ni", Y, dxl, precision=HIGHEST)
+    return dx, dxl.reshape(L, 3), sysg

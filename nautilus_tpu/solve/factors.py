@@ -370,6 +370,79 @@ def _accumulate_banded(x, corr_terms, layout: BandLayout):
     return diag, band, gd, cost
 
 
+def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout):
+    """Assemble normal equations directly in block-band(+border) form.
+
+    Returns (solve.band.BandedSystem, cost).  Identical algebra to
+    assemble_normal_equations — the band holds blocks (i, i-d) for
+    d = 1..w, HITL line poses live in the dense border — but H is never
+    materialized dense: O(N w) memory, so the LM while-loop carry stays
+    tiny and graphs far beyond the dense-H wall (~8000 poses) solve.
+
+    Requires every odometry/LC factor to satisfy |i - j| <= layout.w
+    (checked host-side by the Solver; violators fall back to the dense
+    path).
+    """
+    from nautilus_tpu.solve.band import BandedSystem
+
+    n, w = layout.n, layout.w
+    dtype = x.dtype
+    L = x.shape[0] - n   # line-pose slots
+
+    pl, ed = graph.planar, graph.edge
+    corr_terms = [t for t in (
+        linearize_two_pose(x, pl.src, pl.tgt, normal_residual,
+                           (pl.src_pts, pl.tgt_pts, pl.src_nrm, pl.tgt_nrm,
+                            pl.mask)),
+        linearize_two_pose(x, ed.src, ed.tgt, point_residual,
+                           (ed.src_pts, ed.tgt_pts, ed.mask)),
+    ) if t is not None]
+    diag, band, gd, cost = _accumulate_banded(x, corr_terms, layout)
+    lv = jnp.concatenate([diag[None], jnp.stack(band)]) if band else \
+        diag[None]
+
+    od = graph.odom
+    term = linearize_two_pose(x, od.i, od.j, odom_residual,
+                              (od.trans, od.rot, od.mask, od.wt, od.wr))
+    if term is not None:
+        r, J, _dof = term
+        cost = cost + 0.5 * jnp.sum(r * r)
+        gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)
+        Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)
+        a, b = od.i, od.j
+        lo = jnp.maximum(a, b)
+        delta = jnp.abs(a - b)
+        lower = jnp.where((a > b)[:, None, None], Hq[:, :3, 3:],
+                          jnp.swapaxes(Hq[:, :3, 3:], 1, 2))
+        lv = lv.at[0, a].add(Hq[:, :3, :3])
+        lv = lv.at[0, b].add(Hq[:, 3:, 3:])
+        lv = lv.at[delta, lo].add(
+            jnp.where((delta > 0)[:, None, None], lower, 0.0))
+        gd = gd.at[a].add(gq[:, :3]).at[b].add(gq[:, 3:])
+
+    C = E = gl = None
+    if L:
+        C = jnp.zeros((n, L, 3, 3), dtype)
+        E = jnp.zeros((L, 3, 3), dtype)
+        gl = jnp.zeros((L, 3), dtype)
+        ht = graph.hitl
+        term = linearize_two_pose(x, ht.node, ht.line, hitl_residual,
+                                  (ht.points, ht.mask, ht.seg_start,
+                                   ht.seg_end))
+        if term is not None:
+            r, J, _dof = term
+            cost = cost + 0.5 * jnp.sum(r * r)
+            gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)
+            Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)
+            node, line = ht.node, ht.line - n
+            lv = lv.at[0, node].add(Hq[:, :3, :3])
+            C = C.at[node, line].add(Hq[:, :3, 3:])
+            E = E.at[line].add(Hq[:, 3:, 3:])
+            gd = gd.at[node].add(gq[:, :3])
+            gl = gl.at[line].add(gq[:, 3:])
+    return BandedSystem(diag=lv[0], band=lv[1:], g=gd, C=C, E=E, gl=gl), cost
+
+
 def _band_to_dense(diag, band, layout: BandLayout):
     """Expand block band -> dense [3n, 3n] H without scatter.
 

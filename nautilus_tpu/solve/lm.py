@@ -175,6 +175,93 @@ def _lm_step_jit(state, graph: FactorGraph, fixed_dof, params: LMParams,
                     lambda x: total_cost(x, graph), fixed_dof, params)
 
 
+def _lm_body_banded(state, assemble_fn, cost_fn, fixed_dof, params: LMParams,
+                    superblock: int):
+    """One LM step on a block-banded system (solve/band.py): identical
+    trust-region schedule to _lm_body, but the damped solve is a block
+    tridiagonal Cholesky and H is never dense."""
+    from nautilus_tpu.solve.band import band_matvec, solve_damped_banded
+
+    (x, sys, cost, radius, divisor, it, done) = state
+    dtype = x.dtype
+    dx, dxl, sysg = solve_damped_banded(sys, fixed_dof, radius, params,
+                                        superblock)
+    step = dx if dxl is None else jnp.concatenate([dx, dxl], axis=0)
+    x_new = x + step
+    new_cost = cost_fn(x_new)
+    Hdx, Hdxl = band_matvec(sysg, dx, dxl)
+    gdx = jnp.sum(sysg.g * dx)
+    dHd = jnp.sum(dx * Hdx)
+    if dxl is not None:
+        gdx = gdx + jnp.sum(sysg.gl * dxl)
+        dHd = dHd + jnp.sum(dxl * Hdxl)
+    model_decrease = -(gdx + 0.5 * dHd)
+    finite = jnp.all(jnp.isfinite(step)) & jnp.isfinite(new_cost)
+    actual = cost - new_cost
+    rho = actual / jnp.maximum(model_decrease,
+                               1e-300 if dtype == jnp.float64 else 1e-30)
+    accept = finite & (model_decrease > 0) & (rho > params.min_relative_decrease)
+
+    grow = 1.0 / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+    radius_new = jnp.where(accept, jnp.minimum(radius * grow,
+                                               params.max_radius),
+                           radius / divisor)
+    divisor_new = jnp.where(accept, 2.0, divisor * 2.0)
+
+    sys2, cost2 = jax.lax.cond(
+        accept, assemble_fn, lambda _: (sys, cost), x_new)
+    x2 = jnp.where(accept, x_new, x)
+    converged = accept & (jnp.abs(actual)
+                          <= params.function_tolerance * cost)
+    return (x2, sys2, cost2, radius_new, divisor_new, it + 1, converged)
+
+
+def lm_loop_banded(x0, assemble_fn, cost_fn, fixed_dof,
+                   params: LMParams = LMParams(),
+                   superblock: int = 16) -> LMResult:
+    """LM loop where assemble_fn(x) -> (BandedSystem, cost).  The loop
+    carry holds the O(N w) band instead of the O(N^2) dense H — both
+    faster (no dense materialization/copies per iteration) and the key
+    to solving pose graphs far beyond the dense memory wall."""
+    sys0, cost0 = assemble_fn(x0)
+    state = (x0, sys0, cost0,
+             jnp.asarray(params.initial_radius, x0.dtype),
+             jnp.asarray(2.0, x0.dtype), jnp.asarray(0, jnp.int32),
+             jnp.asarray(False))
+
+    def cond(s):
+        (x, sys, cost, radius, divisor, it, done) = s
+        return (~done) & (it < params.max_iterations) \
+            & (radius > params.min_radius)
+
+    state = jax.lax.while_loop(
+        cond,
+        lambda s: _lm_body_banded(s, assemble_fn, cost_fn, fixed_dof,
+                                  params, superblock),
+        state)
+    (x, sys, cost, radius, divisor, it, done) = state
+    return LMResult(x=x, cost=cost, initial_cost=cost0, iterations=it,
+                    converged=done)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "layout",
+                                             "superblock"))
+def lm_solve_banded(x0, graph: FactorGraph, fixed_dof,
+                    params: LMParams = LMParams(), layout=None,
+                    superblock: int = 16) -> LMResult:
+    """Run LM to convergence with the block-band linear solver.
+
+    Requires the delta-major correspondence layout and every
+    odometry/LC factor within the band (|i - j| <= layout.w); HITL line
+    poses are handled as a dense border."""
+    from nautilus_tpu.solve.factors import assemble_banded_system
+    return lm_loop_banded(
+        x0,
+        assemble_fn=lambda x: assemble_banded_system(x, graph, layout),
+        cost_fn=lambda x: total_cost(x, graph),
+        fixed_dof=fixed_dof, params=params, superblock=superblock)
+
+
 def lm_solve_stepped(x0, graph: FactorGraph, fixed_dof,
                      params: LMParams = LMParams(),
                      iteration_callback=None, layout=None) -> LMResult:

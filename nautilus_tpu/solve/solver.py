@@ -104,9 +104,13 @@ class Solver:
                  use_normal_gate: bool = False,
                  per_iteration_viz: bool = False,
                  fused_sweep: Optional[bool] = None):
-        """linear_solver: 'dense' (Cholesky normal equations — fastest up
-        to a few thousand poses), 'cg' (matrix-free PCG, solve/cg.py — for
-        graphs where dense H no longer fits), or 'auto'.
+        """linear_solver: 'band' (block-band Cholesky, solve/band.py —
+        the default: fastest at every scale and O(N w) memory, usable
+        whenever all factors couple nodes within the window), 'dense'
+        (dense Cholesky normal equations — required when loop-closure
+        factors couple distant nodes), 'cg' (matrix-free PCG,
+        solve/cg.py), or 'auto' (band when eligible, else dense below the
+        dense-H memory wall, else cg).
 
         use_normal_gate enables normal-similarity gating in correspondence
         search (the reference's GetPointToNormalMatching,
@@ -132,14 +136,6 @@ class Solver:
         # remote-compile relay); True asserts eligibility.
         self.fused_sweep = fused_sweep
         n = state.num_nodes
-        if linear_solver == "auto":
-            # Crossover measured on v5e (benchmarks/LARGE_N.md): dense
-            # Cholesky beats matrix-free PCG by >20x at every scale dense
-            # H fits (4.9 s vs 115 s at N=2000; still ~8 s at N=3000), so
-            # the switch point is the dense-H memory wall, not speed:
-            # ~3 live (3N)^2 f32 copies during LM -> ~10 GB at N=10000 on
-            # a 16 GB chip.  Reference scales top out at 1200 poses.
-            linear_solver = "dense" if n <= 8000 else "cg"
         self.linear_solver = linear_solver
         w_max = config.get_int("lidar_constraint_amount_max")
         self.pairs = correspond.make_pairs(n, w_max)
@@ -152,6 +148,36 @@ class Solver:
         self._layout = BandLayout(n, w_eff) if w_eff >= 1 else None
 
     # -- graph construction -------------------------------------------------
+
+    def _band_eligible(self) -> bool:
+        """Band solver applies when every odometry/LC factor couples nodes
+        within the correspondence band |i - j| <= layout.w (HITL line
+        poses are fine — they solve as a dense border).  Auto-LC applied
+        factors couple distant nodes and force the dense path."""
+        if self._layout is None:
+            return False
+        i, j, _, _ = self.state.odometry_factors
+        max_d = int(np.max(np.abs(np.asarray(i) - np.asarray(j)))) \
+            if len(i) else 0
+        for (li, lj, *_rest) in self.state.lc_factors:
+            max_d = max(max_d, abs(int(li) - int(lj)))
+        return max_d <= self._layout.w
+
+    def _resolve_solver(self) -> str:
+        """Per-solve linear-solver choice ('auto' depends on the current
+        factor set, which LC events mutate).
+
+        Measured on v5e (benchmarks/LARGE_N.md, PROFILE.md): block-band
+        Cholesky wins at every scale it applies (O(N w) memory — no
+        ceiling); dense Cholesky handles arbitrary factor topology up to
+        the dense-H memory wall (~3 live (3N)^2 f32 copies -> ~10 GB at
+        N=10000 on a 16 GB chip); matrix-free PCG only beyond that.
+        """
+        if self.linear_solver != "auto":
+            return self.linear_solver
+        if self._band_eligible():
+            return "band"
+        return "dense" if self.state.num_nodes <= 8000 else "cg"
 
     def _dtype(self):
         return self.state.problem.points.dtype
@@ -275,18 +301,19 @@ class Solver:
         (association + LM for every window inside a lax.fori_loop) — zero
         host round-trips between windows.
         """
+        solver_kind = self._resolve_solver()
         eligible = (self.visualizer is None
                     and optimization_type == "feature"
-                    and self.linear_solver == "dense"
+                    and solver_kind in ("dense", "band")
                     and not self.per_iteration_viz)
         if self.fused_sweep:
             assert eligible, ("fused_sweep=True requires no visualizer, "
-                              "feature mode, and the dense solver")
+                              "feature mode, and the dense/band solver")
         if eligible and self.fused_sweep is not False:
-            return self._solve_slam_fused()
-        return self._solve_slam_host_loop(optimization_type)
+            return self._solve_slam_fused(solver_kind)
+        return self._solve_slam_host_loop(optimization_type, solver_kind)
 
-    def _solve_slam_fused(self) -> SolveStats:
+    def _solve_slam_fused(self, solver_kind: str = "band") -> SolveStats:
         cfg = self.config
         w_min = cfg.get_int("lidar_constraint_amount_min")
         w_max = cfg.get_int("lidar_constraint_amount_max")
@@ -301,7 +328,7 @@ class Solver:
         out = _fused_sweep(
             x, problem, self._pair_src, self._pair_tgt, odom, hitl, fixed,
             outlier, w_min, w_max, self.lm_params, self.use_normal_gate,
-            self._layout)
+            self._layout, solver_kind == "band")
         # One batched host fetch (the finite flag is computed on device so
         # the NaN guard does not cost an extra relay dispatch).
         x_out, init_costs, final_costs, iters, finite = jax.device_get(out)
@@ -331,11 +358,16 @@ class Solver:
         stats = SolveStats()
         x = self._current_x()
         fixed = self._fixed_mask()
+        solver_kind = self._resolve_solver()
         t0 = time.perf_counter()
         graph = self.build_graph(x, w, optimization_type)
-        if self.linear_solver == "cg":
+        if solver_kind == "cg":
             from nautilus_tpu.solve.cg import lm_solve_cg
             res = lm_solve_cg(x, graph, fixed, params=self.lm_params)
+        elif solver_kind == "band":
+            from nautilus_tpu.solve.lm import lm_solve_banded
+            res = lm_solve_banded(x, graph, fixed, params=self.lm_params,
+                                  layout=self._layout)
         else:
             res = lm_solve(x, graph, fixed, params=self.lm_params,
                            layout=self._layout)
@@ -349,11 +381,13 @@ class Solver:
             self.visualizer.draw_solution(self.state, window=w)
         return stats
 
-    def _solve_slam_host_loop(self, optimization_type: str) -> SolveStats:
+    def _solve_slam_host_loop(self, optimization_type: str,
+                              solver_kind: str = None) -> SolveStats:
         cfg = self.config
         stats = SolveStats()
         x = self._current_x()
         fixed = self._fixed_mask()
+        solver_kind = solver_kind or self._resolve_solver()
         if self.visualizer is not None:
             self.visualizer.draw_solution(self.state)
         w_min = cfg.get_int("lidar_constraint_amount_min")
@@ -361,10 +395,15 @@ class Solver:
         for window in range(w_min, w_max + 1):
             t0 = time.perf_counter()
             graph = self.build_graph(x, window, optimization_type)
-            if self.linear_solver == "cg":
+            if solver_kind == "cg":
                 from nautilus_tpu.solve.cg import lm_solve_cg
                 res: LMResult = lm_solve_cg(x, graph, fixed,
                                             params=self.lm_params)
+            elif solver_kind == "band" and not self.per_iteration_viz:
+                from nautilus_tpu.solve.lm import lm_solve_banded
+                res = lm_solve_banded(x, graph, fixed,
+                                      params=self.lm_params,
+                                      layout=self._layout)
             elif self.per_iteration_viz:
                 from nautilus_tpu.solve.lm import lm_solve_stepped
                 self._viz_window = window
@@ -417,20 +456,23 @@ class Solver:
 
 @functools.partial(jax.jit,
                    static_argnames=("w_min", "w_max", "lm_params",
-                                    "use_normal_gate", "layout"))
+                                    "use_normal_gate", "layout", "use_band"))
 def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
                  w_min: int, w_max: int, lm_params,
-                 use_normal_gate: bool = False, layout=None):
+                 use_normal_gate: bool = False, layout=None,
+                 use_band: bool = False):
     """OptimizeOverGrowingWindow as one device program.
 
     The window size is a runtime value inside the fori_loop (it only enters
     association as a pair mask), so the loop body compiles once and runs
-    w_max - w_min + 1 times entirely on device.
+    w_max - w_min + 1 times entirely on device.  use_band selects the
+    block-band linear solver (solve/band.py) over dense Cholesky.
     """
     from nautilus_tpu.solve.factors import (FactorGraph,
+                                            assemble_banded_system,
                                             assemble_normal_equations,
                                             total_cost)
-    from nautilus_tpu.solve.lm import lm_loop
+    from nautilus_tpu.solve.lm import lm_loop, lm_loop_banded
 
     n = problem.num_nodes
     n_windows = w_max - w_min + 1
@@ -445,12 +487,20 @@ def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
                                     w, outlier, feature="edge",
                                     use_normal_gate=use_normal_gate)
         graph = FactorGraph(odom=odom, planar=planar, edge=edge, hitl=hitl)
-        res = lm_loop(
-            x,
-            assemble_fn=lambda xx: assemble_normal_equations(xx, graph,
-                                                             layout),
-            cost_fn=lambda xx: total_cost(xx, graph),
-            fixed_dof=fixed, params=lm_params)
+        if use_band:
+            res = lm_loop_banded(
+                x,
+                assemble_fn=lambda xx: assemble_banded_system(xx, graph,
+                                                              layout),
+                cost_fn=lambda xx: total_cost(xx, graph),
+                fixed_dof=fixed, params=lm_params)
+        else:
+            res = lm_loop(
+                x,
+                assemble_fn=lambda xx: assemble_normal_equations(xx, graph,
+                                                                 layout),
+                cost_fn=lambda xx: total_cost(xx, graph),
+                fixed_dof=fixed, params=lm_params)
         return (res.x,
                 init_costs.at[k].set(res.initial_cost),
                 final_costs.at[k].set(res.cost),

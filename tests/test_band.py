@@ -1,0 +1,159 @@
+"""Block-band Cholesky solver (solve/band.py) vs dense normal equations.
+
+The band path must be algebraically identical to the dense path
+(reference Ceres solves the same normal equations via SPARSE_SCHUR,
+solver.cc:269); these tests pin matvec, damped solve, full LM, and the
+HITL bordered system against the dense implementations.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nautilus_tpu.core.luaconf import load_config_text
+from nautilus_tpu.ingest.synthetic import make_problem
+from nautilus_tpu.solve.band import (band_factor, band_apply_inverse,
+                                     band_matvec, solve_damped_banded)
+from nautilus_tpu.solve.factors import (assemble_banded_system,
+                                        assemble_normal_equations)
+from nautilus_tpu.solve.lm import (LMParams, _solve_damped, lm_solve,
+                                   lm_solve_banded)
+from nautilus_tpu.solve.solver import Solver
+
+DEFAULTS = """
+translation_weight=1
+rotation_weight=1
+lidar_constraint_amount_min=1
+lidar_constraint_amount_max=3
+outlier_threshold=0.25
+"""
+
+
+def _setup(n=9, with_hitl=False, seed=3):
+    state, _ = make_problem(num_nodes=n, world_kind="room", num_beams=240,
+                            seed=seed, odom_noise_trans=0.03,
+                            odom_noise_rot=0.01)
+    if with_hitl:
+        from nautilus_tpu.solve.hitl import HitlConstraint
+        pts = np.asarray(state.problem.points, np.float64)
+        state.hitl_constraints.append(HitlConstraint(
+            line_a=(np.array([0.0, -0.5]), np.array([3.0, -0.5])),
+            line_b=(np.array([0.0, -0.45]), np.array([3.0, -0.45])),
+            line_a_poses=[(1, pts[1][:12]), (4, pts[4][:9])],
+            line_b_poses=[(6, pts[6][:7])],
+            line_pose_index=0))
+        state.line_poses = np.zeros((1, 3))
+    cfg = load_config_text(DEFAULTS)
+    solver = Solver(state, cfg)
+    x = solver._current_x()
+    graph = solver.build_graph(x, window=3)
+    return solver, x, graph
+
+
+@pytest.mark.parametrize("with_hitl", [False, True])
+def test_band_system_matches_dense(with_hitl):
+    solver, x, graph = _setup(with_hitl=with_hitl)
+    layout = solver._layout
+    H, g, c = assemble_normal_equations(x, graph, layout)
+    sysb, cb = assemble_banded_system(x, graph, layout)
+    np.testing.assert_allclose(float(cb), float(c), rtol=1e-6)
+    n = layout.n
+    L = sysb.num_lines
+    rng = np.random.RandomState(0)
+    v = jnp.asarray(rng.randn(n, 3), x.dtype)
+    vl = jnp.asarray(rng.randn(L, 3), x.dtype) if L else None
+    Hv, Hvl = band_matvec(sysb, v, vl)
+    vfull = np.concatenate([np.asarray(v).reshape(-1),
+                            np.asarray(vl).reshape(-1) if L else np.zeros(0)])
+    dense = (np.asarray(H, np.float64) @ vfull)
+    np.testing.assert_allclose(np.asarray(Hv).reshape(-1), dense[:3 * n],
+                               rtol=1e-4, atol=1e-4)
+    if L:
+        np.testing.assert_allclose(np.asarray(Hvl).reshape(-1),
+                                   dense[3 * n:], rtol=1e-4, atol=1e-4)
+    gfull = np.concatenate([np.asarray(sysb.g).reshape(-1),
+                            np.asarray(sysb.gl).reshape(-1) if L
+                            else np.zeros(0)])
+    np.testing.assert_allclose(gfull, np.asarray(g), rtol=1e-5, atol=1e-5)
+
+
+def test_band_factor_inverse():
+    """band_factor/apply_inverse solves H x = r (no damping, gauged)."""
+    solver, x, graph = _setup()
+    layout = solver._layout
+    sysb, _ = assemble_banded_system(x, graph, layout)
+    from nautilus_tpu.solve.band import _apply_gauge_band
+    sysg = _apply_gauge_band(sysb, solver._fixed_mask())
+    # Regularize lightly so both solves are well-posed.
+    eye = jnp.eye(3, dtype=x.dtype) * 1e-3
+    sysg = sysg._replace(diag=sysg.diag + eye[None])
+    fac = band_factor(sysg, s=4)
+    r = jnp.asarray(np.random.RandomState(1).randn(layout.n, 3), x.dtype)
+    sol = band_apply_inverse(fac, r)
+    back, _ = band_matvec(sysg, sol)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(r),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("with_hitl", [False, True])
+@pytest.mark.parametrize("radius", [1e4, 1e2])
+def test_damped_band_solve_matches_dense(with_hitl, radius):
+    solver, x, graph = _setup(with_hitl=with_hitl)
+    layout = solver._layout
+    fixed = solver._fixed_mask()
+    params = LMParams()
+    H, g, _ = assemble_normal_equations(x, graph, layout)
+    sysb, _ = assemble_banded_system(x, graph, layout)
+    r = jnp.asarray(radius, x.dtype)
+    dx_dense, _, _ = _solve_damped(H, g, fixed, r, params)
+    dx, dxl, _ = solve_damped_banded(sysb, fixed, r, params, superblock=4)
+    flat = np.asarray(dx).reshape(-1)
+    if dxl is not None:
+        flat = np.concatenate([flat, np.asarray(dxl).reshape(-1)])
+    np.testing.assert_allclose(flat, np.asarray(dx_dense),
+                               rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_hitl", [False, True])
+def test_lm_band_matches_dense(with_hitl):
+    solver, x, graph = _setup(with_hitl=with_hitl)
+    layout = solver._layout
+    fixed = solver._fixed_mask()
+    params = LMParams()
+    r0 = lm_solve(x, graph, fixed, params=params, layout=layout)
+    r1 = lm_solve_banded(x, graph, fixed, params=params, layout=layout,
+                         superblock=4)
+    np.testing.assert_allclose(float(r1.cost), float(r0.cost), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_full_solve_band_vs_dense():
+    """End-to-end growing-window sweep: band and dense solvers land on
+    the same map."""
+    state, _ = make_problem(num_nodes=12, world_kind="room", num_beams=240,
+                            seed=7, odom_noise_trans=0.03,
+                            odom_noise_rot=0.01)
+    cfg = load_config_text(DEFAULTS)
+    x0 = state.solution.copy()
+    s_dense = Solver(state, cfg, linear_solver="dense")
+    st_dense = s_dense.solve_slam()
+    sol_dense = state.solution.copy()
+    state.solution = x0.copy()
+    s_band = Solver(state, cfg, linear_solver="band")
+    st_band = s_band.solve_slam()
+    np.testing.assert_allclose(st_band.final_cost, st_dense.final_cost,
+                               rtol=1e-3)
+    np.testing.assert_allclose(state.solution, sol_dense, rtol=5e-3,
+                               atol=1e-3)
+
+
+def test_auto_resolves_band_and_falls_back_on_lc():
+    state, _ = make_problem(num_nodes=8, world_kind="room", num_beams=180,
+                            seed=9)
+    cfg = load_config_text(DEFAULTS)
+    solver = Solver(state, cfg)
+    assert solver._resolve_solver() == "band"
+    # An applied loop-closure factor couples distant nodes -> dense.
+    state.lc_factors.append((0, 7, np.zeros(2), 0.0, 1.0, 1.0))
+    assert solver._resolve_solver() == "dense"

@@ -140,7 +140,14 @@ def main():
             lines.append(f"    - {s * 1e3:8.2f} ms  {name[:90]}")
         lines.append("")
     out = Path(__file__).resolve().parent / "PROFILE.md"
-    out.write_text("\n".join(lines) + "\n")
+    # Preserve the hand-written Analysis section across re-captures.
+    analysis = ""
+    if out.exists():
+        prev = out.read_text()
+        idx = prev.find("## Analysis")
+        if idx >= 0:
+            analysis = "\n" + prev[idx:]
+    out.write_text("\n".join(lines) + "\n" + analysis)
     print("\n".join(lines))
     print(f"\nanalytic: dense Cholesky {chol_flops/1e9:.2f} GFLOP/iter; "
           f"CSM coarse {csm_flops_pair/1e9:.2f} GFLOP/pair")

@@ -67,3 +67,6 @@ sampling_distance=0.25               -- kept for surface parity
 solver_dtype="float32"               -- device solve precision; "float64"
                                      -- runs the XLA-emulated double path
                                      -- matching Ceres' native precision
+linear_solver="auto"                 -- "band" (block-band Cholesky, the
+                                     -- default when all factors are in-
+                                     -- window), "dense", "cg", or "auto"

@@ -120,7 +120,8 @@ def main(argv=None) -> int:
         if not visualizer.available:
             print("--ros requested but rospy is not importable.")
             return 1
-    solver = Solver(state, cfg, visualizer=visualizer)
+    solver = Solver(state, cfg, visualizer=visualizer,
+                    linear_solver=cfg.get("linear_solver", "auto"))
     t0 = time.perf_counter()
     stats = solver.solve_slam()
     if verbose:

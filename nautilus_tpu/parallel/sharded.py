@@ -142,19 +142,29 @@ def _pad_to_multiple(arr, mult: int, axis: int = 0):
 def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
                   outlier, w_min: int, w_max: int, mesh: Mesh,
                   lm_params: LMParams = LMParams(),
-                  use_normal_gate: bool = False):
+                  use_normal_gate: bool = False,
+                  use_band: bool = False):
     """The full OptimizeOverGrowingWindow, multi-chip.
 
     Everything per-factor is sharded over the 'factors' mesh axis:
     - the correspondence pair list (association runs locally per shard —
       problem arrays are replicated, gathers are local),
     - odometry + HITL factor lists,
-    and each LM step all-reduces (H, g, cost) with one psum.  The damped
-    Cholesky and pose update run replicated.  Returns (x, initial_costs,
-    final_costs, iterations) like solver._fused_sweep.
+    and each LM step all-reduces the assembled normal equations with one
+    psum.  The damped solve and pose update run replicated.  Returns
+    (x, initial_costs, final_costs, iterations) like solver._fused_sweep.
+
+    use_band: assemble shard-locally into block-band form
+    (factors.assemble_banded_scatter) and psum the O(N w) band instead of
+    the O(N^2) dense H — at N=1000, w=10 that is ~400 KB of ICI traffic
+    per accepted LM step instead of ~37 MB (~90x less) — and solve with
+    the block-band Cholesky.  Requires all odometry factors in-band
+    (|i - j| <= w_max; the single-chip Solver._band_eligible check).
     """
     from nautilus_tpu.solve import correspond
-    from nautilus_tpu.solve.factors import FactorGraph
+    from nautilus_tpu.solve.factors import (FactorGraph,
+                                            assemble_banded_scatter)
+    from nautilus_tpu.solve.lm import lm_loop_banded
 
     num = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     q = pair_src.shape[0]
@@ -202,6 +212,13 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
                         jax.lax.psum(cost, "factors"))
             return f
 
+        def assemble_psum_banded(graph):
+            def f(xx):
+                sys, cost = assemble_banded_scatter(xx, graph, n, w_max)
+                return (jax.lax.psum(sys, "factors"),
+                        jax.lax.psum(cost, "factors"))
+            return f
+
         def cost_psum(graph):
             return lambda xx: jax.lax.psum(total_cost(xx, graph), "factors")
 
@@ -218,8 +235,12 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
             edge = edge._replace(mask=edge.mask & pvalid[:, None])
             graph = FactorGraph(odom=odom_l, planar=planar, edge=edge,
                                 hitl=hitl_l)
-            res = lm_loop(x, assemble_psum(graph), cost_psum(graph), fixed,
-                          lm_params)
+            if use_band:
+                res = lm_loop_banded(x, assemble_psum_banded(graph),
+                                     cost_psum(graph), fixed, lm_params)
+            else:
+                res = lm_loop(x, assemble_psum(graph), cost_psum(graph),
+                              fixed, lm_params)
             return (res.x, ic.at[k].set(res.initial_cost),
                     fc.at[k].set(res.cost), it.at[k].set(res.iterations))
 

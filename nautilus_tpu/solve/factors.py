@@ -370,6 +370,92 @@ def _accumulate_banded(x, corr_terms, layout: BandLayout):
     return diag, band, gd, cost
 
 
+def _scatter_band_factor(lv, gd, cost, x, idx_a, idx_b, item_fn, data):
+    """Scatter one two-node factor batch into band levels lv [w+1, N, 3, 3]
+    (level 0 = diagonal, level d = block (i, i-d) at row i) + gradient gd.
+
+    Order-independent (unlike the contiguous pad+add fast path) — used for
+    irregular factor lists and for shard-local slices of the pair list in
+    the factor-sharded multi-chip path.  Requires |idx_a - idx_b| <= w.
+    """
+    term = linearize_two_pose(x, idx_a, idx_b, item_fn, data)
+    if term is None:
+        return lv, gd, cost
+    r, J, _dof = term
+    cost = cost + 0.5 * jnp.sum(r * r)
+    gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)
+    Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)
+    a, b = idx_a, idx_b
+    lo = jnp.maximum(a, b)
+    delta = jnp.abs(a - b)
+    lower = jnp.where((a > b)[:, None, None], Hq[:, :3, 3:],
+                      jnp.swapaxes(Hq[:, :3, 3:], 1, 2))
+    lv = lv.at[0, a].add(Hq[:, :3, :3])
+    lv = lv.at[0, b].add(Hq[:, 3:, 3:])
+    lv = lv.at[delta, lo].add(
+        jnp.where((delta > 0)[:, None, None], lower, 0.0))
+    gd = gd.at[a].add(gq[:, :3]).at[b].add(gq[:, 3:])
+    return lv, gd, cost
+
+
+def _hitl_border(lv, gd, cost, x, graph: FactorGraph, n: int, L: int):
+    """Accumulate HITL factors: node-node into the band diagonal, node-line
+    into the dense border C, line-line into the block-diagonal E."""
+    dtype = x.dtype
+    C = jnp.zeros((n, L, 3, 3), dtype)
+    E = jnp.zeros((L, 3, 3), dtype)
+    gl = jnp.zeros((L, 3), dtype)
+    ht = graph.hitl
+    term = linearize_two_pose(x, ht.node, ht.line, hitl_residual,
+                              (ht.points, ht.mask, ht.seg_start, ht.seg_end))
+    if term is not None:
+        r, J, _dof = term
+        cost = cost + 0.5 * jnp.sum(r * r)
+        gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)
+        Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)
+        node, line = ht.node, ht.line - n
+        lv = lv.at[0, node].add(Hq[:, :3, :3])
+        C = C.at[node, line].add(Hq[:, :3, 3:])
+        E = E.at[line].add(Hq[:, 3:, 3:])
+        gd = gd.at[node].add(gq[:, :3])
+        gl = gl.at[line].add(gq[:, 3:])
+    return lv, gd, cost, C, E, gl
+
+
+def assemble_banded_scatter(x, graph: FactorGraph, n: int, w: int):
+    """Band-form assembly for ARBITRARY factor order (scatter into band).
+
+    The multi-chip factor-sharded path hands each device an arbitrary
+    contiguous slice of the delta-major pair list, so the contiguous
+    pad+add fast path of assemble_banded_system does not apply; scatter
+    into the [w+1, N, 3, 3] band instead (Q/D blocks per shard — small),
+    then psum the O(N w) band rather than an O(N^2) dense H.
+
+    Returns (BandedSystem, cost).  Requires all two-node factors in-band.
+    """
+    from nautilus_tpu.solve.band import BandedSystem
+
+    dtype = x.dtype
+    L = x.shape[0] - n
+    lv = jnp.zeros((w + 1, n, 3, 3), dtype)
+    gd = jnp.zeros((n, 3), dtype)
+    cost = jnp.zeros((), dtype)
+    pl, ed, od = graph.planar, graph.edge, graph.odom
+    for idx_a, idx_b, fn, data in (
+            (pl.src, pl.tgt, normal_residual,
+             (pl.src_pts, pl.tgt_pts, pl.src_nrm, pl.tgt_nrm, pl.mask)),
+            (ed.src, ed.tgt, point_residual,
+             (ed.src_pts, ed.tgt_pts, ed.mask)),
+            (od.i, od.j, odom_residual,
+             (od.trans, od.rot, od.mask, od.wt, od.wr))):
+        lv, gd, cost = _scatter_band_factor(lv, gd, cost, x, idx_a, idx_b,
+                                            fn, data)
+    C = E = gl = None
+    if L:
+        lv, gd, cost, C, E, gl = _hitl_border(lv, gd, cost, x, graph, n, L)
+    return BandedSystem(diag=lv[0], band=lv[1:], g=gd, C=C, E=E, gl=gl), cost
+
+
 def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout):
     """Assemble normal equations directly in block-band(+border) form.
 
@@ -386,7 +472,6 @@ def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout):
     from nautilus_tpu.solve.band import BandedSystem
 
     n, w = layout.n, layout.w
-    dtype = x.dtype
     L = x.shape[0] - n   # line-pose slots
 
     pl, ed = graph.planar, graph.edge
@@ -402,44 +487,13 @@ def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout):
         diag[None]
 
     od = graph.odom
-    term = linearize_two_pose(x, od.i, od.j, odom_residual,
-                              (od.trans, od.rot, od.mask, od.wt, od.wr))
-    if term is not None:
-        r, J, _dof = term
-        cost = cost + 0.5 * jnp.sum(r * r)
-        gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)
-        Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)
-        a, b = od.i, od.j
-        lo = jnp.maximum(a, b)
-        delta = jnp.abs(a - b)
-        lower = jnp.where((a > b)[:, None, None], Hq[:, :3, 3:],
-                          jnp.swapaxes(Hq[:, :3, 3:], 1, 2))
-        lv = lv.at[0, a].add(Hq[:, :3, :3])
-        lv = lv.at[0, b].add(Hq[:, 3:, 3:])
-        lv = lv.at[delta, lo].add(
-            jnp.where((delta > 0)[:, None, None], lower, 0.0))
-        gd = gd.at[a].add(gq[:, :3]).at[b].add(gq[:, 3:])
+    lv, gd, cost = _scatter_band_factor(
+        lv, gd, cost, x, od.i, od.j, odom_residual,
+        (od.trans, od.rot, od.mask, od.wt, od.wr))
 
     C = E = gl = None
     if L:
-        C = jnp.zeros((n, L, 3, 3), dtype)
-        E = jnp.zeros((L, 3, 3), dtype)
-        gl = jnp.zeros((L, 3), dtype)
-        ht = graph.hitl
-        term = linearize_two_pose(x, ht.node, ht.line, hitl_residual,
-                                  (ht.points, ht.mask, ht.seg_start,
-                                   ht.seg_end))
-        if term is not None:
-            r, J, _dof = term
-            cost = cost + 0.5 * jnp.sum(r * r)
-            gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)
-            Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)
-            node, line = ht.node, ht.line - n
-            lv = lv.at[0, node].add(Hq[:, :3, :3])
-            C = C.at[node, line].add(Hq[:, :3, 3:])
-            E = E.at[line].add(Hq[:, 3:, 3:])
-            gd = gd.at[node].add(gq[:, :3])
-            gl = gl.at[line].add(gq[:, 3:])
+        lv, gd, cost, C, E, gl = _hitl_border(lv, gd, cost, x, graph, n, L)
     return BandedSystem(diag=lv[0], band=lv[1:], g=gd, C=C, E=E, gl=gl), cost
 
 

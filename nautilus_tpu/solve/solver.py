@@ -309,7 +309,17 @@ class Solver:
         if self.fused_sweep:
             assert eligible, ("fused_sweep=True requires no visualizer, "
                               "feature mode, and the dense/band solver")
-        if eligible and self.fused_sweep is not False:
+        # Auto-fused gates on scale: the whole-sweep DENSE program hit
+        # pathological multi-ten-minute XLA compiles through the remote
+        # relay above ~1200 poses (ROUND_NOTES); the band program compiles
+        # in ~30 s and runs 3.5-6x faster than the host window loop up to
+        # the largest validated scale (N=5000: fused 2.6 s vs host 4.7 s,
+        # benchmarks/LARGE_N.md).  Beyond the validated range the host
+        # loop compiles one small program and reuses it across windows;
+        # fused_sweep=True overrides.
+        fused_cap = 6000 if solver_kind == "band" else 1500
+        auto_fused = eligible and self.state.num_nodes <= fused_cap
+        if self.fused_sweep or (auto_fused and self.fused_sweep is not False):
             return self._solve_slam_fused(solver_kind)
         return self._solve_slam_host_loop(optimization_type, solver_kind)
 

@@ -78,7 +78,14 @@ def main():
              "|---|---|---|---|---|---|"]
     for r in rows:
         lines.append("| " + " | ".join(str(v) for v in r) + " |")
-    out.write_text("\n".join(lines) + "\n")
+    # Preserve any hand-written narrative (## Notes and below).
+    notes = ""
+    if out.exists():
+        prev = out.read_text()
+        idx = prev.find("## Notes")
+        if idx >= 0:
+            notes = "\n" + prev[idx:]
+    out.write_text("\n".join(lines) + "\n" + notes)
     print(f"wrote {out}")
 
 

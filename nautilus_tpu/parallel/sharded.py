@@ -167,6 +167,18 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
     from nautilus_tpu.solve.lm import lm_loop_banded
 
     num = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_nodes = problem.num_nodes
+    # Band half-width: clamped to the graph size (a 5-node graph with
+    # w_max=10 must not build length-10 band levels), validated against
+    # the actual odometry factor deltas — an out-of-band block would be
+    # silently dropped by the scatter, not raised.
+    w_band = min(w_max, max(n_nodes - 1, 0))
+    if use_band:
+        deltas = np.abs(np.asarray(odom.i) - np.asarray(odom.j))
+        if deltas.size and int(deltas.max()) > w_band:
+            raise ValueError(
+                f"use_band=True requires all odometry factors within "
+                f"|i - j| <= {w_band}; found delta {int(deltas.max())}.")
     q = pair_src.shape[0]
     pair_src_p = _pad_to_multiple(jnp.asarray(pair_src), num)
     pair_tgt_p = _pad_to_multiple(jnp.asarray(pair_tgt), num)
@@ -214,7 +226,7 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
 
         def assemble_psum_banded(graph):
             def f(xx):
-                sys, cost = assemble_banded_scatter(xx, graph, n, w_max)
+                sys, cost = assemble_banded_scatter(xx, graph, n, w_band)
                 return (jax.lax.psum(sys, "factors"),
                         jax.lax.psum(cost, "factors"))
             return f

@@ -221,24 +221,42 @@ def linearize_two_pose(x, idx_a, idx_b, item_fn, data):
     return r, J, dof
 
 
+def odom_factor_spec(graph: FactorGraph):
+    """(idx_a, idx_b, residual_fn, data) for the odometry factor batch."""
+    od = graph.odom
+    return (od.i, od.j, odom_residual, (od.trans, od.rot, od.mask, od.wt,
+                                        od.wr))
+
+
+def corr_factor_specs(graph: FactorGraph):
+    """Factor specs for the planar/edge correspondence batches."""
+    pl, ed = graph.planar, graph.edge
+    return [
+        (pl.src, pl.tgt, normal_residual,
+         (pl.src_pts, pl.tgt_pts, pl.src_nrm, pl.tgt_nrm, pl.mask)),
+        (ed.src, ed.tgt, point_residual, (ed.src_pts, ed.tgt_pts, ed.mask)),
+    ]
+
+
+def hitl_factor_spec(graph: FactorGraph):
+    """(idx_a, idx_b, residual_fn, data) for the HITL colinearity batch."""
+    ht = graph.hitl
+    return (ht.node, ht.line, hitl_residual,
+            (ht.points, ht.mask, ht.seg_start, ht.seg_end))
+
+
+def graph_factor_specs(graph: FactorGraph):
+    """Every factor type as (idx_a, idx_b, residual_fn, data) — the ONE
+    enumeration all assembly paths (dense scatter, banded, band scatter,
+    matrix-free) build from."""
+    return [odom_factor_spec(graph)] + corr_factor_specs(graph) \
+        + [hitl_factor_spec(graph)]
+
+
 def _graph_factor_terms(x, graph: FactorGraph):
     """Linearize every factor type; yields (r, J, dof) triples."""
-    od = graph.odom
-    terms = [linearize_two_pose(
-        x, od.i, od.j, odom_residual,
-        (od.trans, od.rot, od.mask, od.wt, od.wr))]
-    pl = graph.planar
-    terms.append(linearize_two_pose(
-        x, pl.src, pl.tgt, normal_residual,
-        (pl.src_pts, pl.tgt_pts, pl.src_nrm, pl.tgt_nrm, pl.mask)))
-    ed = graph.edge
-    terms.append(linearize_two_pose(
-        x, ed.src, ed.tgt, point_residual,
-        (ed.src_pts, ed.tgt_pts, ed.mask)))
-    ht = graph.hitl
-    terms.append(linearize_two_pose(
-        x, ht.node, ht.line, hitl_residual,
-        (ht.points, ht.mask, ht.seg_start, ht.seg_end)))
+    terms = [linearize_two_pose(x, a, b, fn, data)
+             for (a, b, fn, data) in graph_factor_specs(graph)]
     return [t for t in terms if t is not None]
 
 
@@ -286,26 +304,17 @@ def assemble_normal_equations(x, graph: FactorGraph,
         return H, g, cost
 
     # Irregular factors (odometry, HITL lines): generic scatter.
-    od, ht = graph.odom, graph.hitl
-    for term in (linearize_two_pose(x, od.i, od.j, odom_residual,
-                                    (od.trans, od.rot, od.mask, od.wt,
-                                     od.wr)),
-                 linearize_two_pose(x, ht.node, ht.line, hitl_residual,
-                                    (ht.points, ht.mask, ht.seg_start,
-                                     ht.seg_end))):
+    for (a, b, fn, data) in (odom_factor_spec(graph),
+                             hitl_factor_spec(graph)):
+        term = linearize_two_pose(x, a, b, fn, data)
         if term is not None:
             H, g = _accumulate_two_pose(H, g, term)
             cost = cost + 0.5 * jnp.sum(term[0] * term[0])
 
     # Correspondence factors: banded accumulation.
-    pl, ed = graph.planar, graph.edge
     corr_terms = [t for t in (
-        linearize_two_pose(x, pl.src, pl.tgt, normal_residual,
-                           (pl.src_pts, pl.tgt_pts, pl.src_nrm, pl.tgt_nrm,
-                            pl.mask)),
-        linearize_two_pose(x, ed.src, ed.tgt, point_residual,
-                           (ed.src_pts, ed.tgt_pts, ed.mask)),
-    ) if t is not None]
+        linearize_two_pose(x, a, b, fn, data)
+        for (a, b, fn, data) in corr_factor_specs(graph)) if t is not None]
     if corr_terms:
         diag, band, gd, cost_c = _accumulate_banded(x, corr_terms, layout)
         cost = cost + cost_c
@@ -406,8 +415,7 @@ def _hitl_border(lv, gd, cost, x, graph: FactorGraph, n: int, L: int):
     E = jnp.zeros((L, 3, 3), dtype)
     gl = jnp.zeros((L, 3), dtype)
     ht = graph.hitl
-    term = linearize_two_pose(x, ht.node, ht.line, hitl_residual,
-                              (ht.points, ht.mask, ht.seg_start, ht.seg_end))
+    term = linearize_two_pose(x, *hitl_factor_spec(graph))
     if term is not None:
         r, J, _dof = term
         cost = cost + 0.5 * jnp.sum(r * r)
@@ -440,14 +448,8 @@ def assemble_banded_scatter(x, graph: FactorGraph, n: int, w: int):
     lv = jnp.zeros((w + 1, n, 3, 3), dtype)
     gd = jnp.zeros((n, 3), dtype)
     cost = jnp.zeros((), dtype)
-    pl, ed, od = graph.planar, graph.edge, graph.odom
-    for idx_a, idx_b, fn, data in (
-            (pl.src, pl.tgt, normal_residual,
-             (pl.src_pts, pl.tgt_pts, pl.src_nrm, pl.tgt_nrm, pl.mask)),
-            (ed.src, ed.tgt, point_residual,
-             (ed.src_pts, ed.tgt_pts, ed.mask)),
-            (od.i, od.j, odom_residual,
-             (od.trans, od.rot, od.mask, od.wt, od.wr))):
+    for idx_a, idx_b, fn, data in corr_factor_specs(graph) \
+            + [odom_factor_spec(graph)]:
         lv, gd, cost = _scatter_band_factor(lv, gd, cost, x, idx_a, idx_b,
                                             fn, data)
     C = E = gl = None
@@ -474,22 +476,15 @@ def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout):
     n, w = layout.n, layout.w
     L = x.shape[0] - n   # line-pose slots
 
-    pl, ed = graph.planar, graph.edge
     corr_terms = [t for t in (
-        linearize_two_pose(x, pl.src, pl.tgt, normal_residual,
-                           (pl.src_pts, pl.tgt_pts, pl.src_nrm, pl.tgt_nrm,
-                            pl.mask)),
-        linearize_two_pose(x, ed.src, ed.tgt, point_residual,
-                           (ed.src_pts, ed.tgt_pts, ed.mask)),
-    ) if t is not None]
+        linearize_two_pose(x, a, b, fn, data)
+        for (a, b, fn, data) in corr_factor_specs(graph)) if t is not None]
     diag, band, gd, cost = _accumulate_banded(x, corr_terms, layout)
     lv = jnp.concatenate([diag[None], jnp.stack(band)]) if band else \
         diag[None]
 
-    od = graph.odom
-    lv, gd, cost = _scatter_band_factor(
-        lv, gd, cost, x, od.i, od.j, odom_residual,
-        (od.trans, od.rot, od.mask, od.wt, od.wr))
+    lv, gd, cost = _scatter_band_factor(lv, gd, cost, x,
+                                        *odom_factor_spec(graph))
 
     C = E = gl = None
     if L:

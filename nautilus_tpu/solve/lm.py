@@ -83,12 +83,32 @@ def _lm_cond(state, params: LMParams):
     return (~done) & (it < params.max_iterations) & (radius > params.min_radius)
 
 
+def _trust_region_update(cost, new_cost, model_decrease, step_finite,
+                         radius, divisor, params: LMParams, dtype):
+    """The Ceres LevenbergMarquardtStrategy accept/radius schedule — the
+    ONE copy shared by the dense and band LM bodies (parity-critical).
+
+    Returns (accept, radius_new, divisor_new, converged)."""
+    actual_decrease = cost - new_cost
+    rho = actual_decrease / jnp.maximum(
+        model_decrease, 1e-300 if dtype == jnp.float64 else 1e-30)
+    accept = step_finite & (model_decrease > 0) \
+        & (rho > params.min_relative_decrease)
+    grow = 1.0 / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+    radius_new = jnp.where(
+        accept, jnp.minimum(radius * grow, params.max_radius),
+        radius / divisor)
+    divisor_new = jnp.where(accept, 2.0, divisor * 2.0)
+    converged = accept & (jnp.abs(actual_decrease)
+                          <= params.function_tolerance * cost)
+    return accept, radius_new, divisor_new, converged
+
+
 def _lm_body(state, assemble_fn, cost_fn, fixed_dof, params: LMParams):
     """One LM trust-region step (pure; shared by the fused while_loop and
     the host-stepped per-iteration-visualization mode)."""
     (x, H, g, cost, radius, divisor, it, done) = state
     m = x.shape[0]
-    dtype = x.dtype
     dx, Hg, gg = _solve_damped(H, g, fixed_dof, radius, params)
     x_new = x + dx.reshape(m, 3)
     new_cost = cost_fn(x_new)
@@ -96,25 +116,15 @@ def _lm_body(state, assemble_fn, cost_fn, fixed_dof, params: LMParams):
     model_decrease = -(jnp.dot(gg, dx, precision=jax.lax.Precision.HIGHEST)
                        + 0.5 * jnp.dot(dx, jnp.matmul(
                            Hg, dx, precision=jax.lax.Precision.HIGHEST)))
-    actual_decrease = cost - new_cost
     finite = jnp.all(jnp.isfinite(dx)) & jnp.isfinite(new_cost)
-    rho = actual_decrease / jnp.maximum(model_decrease, 1e-300 if dtype == jnp.float64 else 1e-30)
-    accept = finite & (model_decrease > 0) & (rho > params.min_relative_decrease)
-
-    # Trust-region update (Ceres LevenbergMarquardtStrategy).
-    grow = 1.0 / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-    radius_acc = jnp.minimum(radius * grow, params.max_radius)
-    radius_rej = radius / divisor
-    radius_new = jnp.where(accept, radius_acc, radius_rej)
-    divisor_new = jnp.where(accept, 2.0, divisor * 2.0)
+    accept, radius_new, divisor_new, converged = _trust_region_update(
+        cost, new_cost, model_decrease, finite, radius, divisor, params,
+        x.dtype)
 
     # Re-assemble only on accepted steps.
     H2, g2, cost2 = jax.lax.cond(
         accept, assemble_fn, lambda _: (H, g, cost), x_new)
     x2 = jnp.where(accept, x_new, x)
-
-    converged = accept & (jnp.abs(actual_decrease)
-                          <= params.function_tolerance * cost)
     return (x2, H2, g2, cost2, radius_new, divisor_new, it + 1, converged)
 
 
@@ -183,7 +193,6 @@ def _lm_body_banded(state, assemble_fn, cost_fn, fixed_dof, params: LMParams,
     from nautilus_tpu.solve.band import band_matvec, solve_damped_banded
 
     (x, sys, cost, radius, divisor, it, done) = state
-    dtype = x.dtype
     dx, dxl, sysg = solve_damped_banded(sys, fixed_dof, radius, params,
                                         superblock)
     step = dx if dxl is None else jnp.concatenate([dx, dxl], axis=0)
@@ -197,22 +206,13 @@ def _lm_body_banded(state, assemble_fn, cost_fn, fixed_dof, params: LMParams,
         dHd = dHd + jnp.sum(dxl * Hdxl)
     model_decrease = -(gdx + 0.5 * dHd)
     finite = jnp.all(jnp.isfinite(step)) & jnp.isfinite(new_cost)
-    actual = cost - new_cost
-    rho = actual / jnp.maximum(model_decrease,
-                               1e-300 if dtype == jnp.float64 else 1e-30)
-    accept = finite & (model_decrease > 0) & (rho > params.min_relative_decrease)
-
-    grow = 1.0 / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-    radius_new = jnp.where(accept, jnp.minimum(radius * grow,
-                                               params.max_radius),
-                           radius / divisor)
-    divisor_new = jnp.where(accept, 2.0, divisor * 2.0)
+    accept, radius_new, divisor_new, converged = _trust_region_update(
+        cost, new_cost, model_decrease, finite, radius, divisor, params,
+        x.dtype)
 
     sys2, cost2 = jax.lax.cond(
         accept, assemble_fn, lambda _: (sys, cost), x_new)
     x2 = jnp.where(accept, x_new, x)
-    converged = accept & (jnp.abs(actual)
-                          <= params.function_tolerance * cost)
     return (x2, sys2, cost2, radius_new, divisor_new, it + 1, converged)
 
 

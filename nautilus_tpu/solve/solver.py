@@ -174,6 +174,16 @@ class Solver:
         N=10000 on a 16 GB chip); matrix-free PCG only beyond that.
         """
         if self.linear_solver != "auto":
+            if self.linear_solver == "band" and not self._band_eligible():
+                # Out-of-band factor blocks cannot be represented: XLA
+                # would silently DROP the out-of-bounds coupling scatter
+                # while keeping gradient/cost — a wrong converged map, not
+                # an error.  Refuse instead.
+                raise ValueError(
+                    "linear_solver='band' requires every odometry/LC "
+                    "factor within |i - j| <= window max (and >= 2 nodes); "
+                    "this problem has out-of-band factors — use 'dense' "
+                    "or 'auto'.")
             return self.linear_solver
         if self._band_eligible():
             return "band"

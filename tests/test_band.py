@@ -157,3 +157,34 @@ def test_auto_resolves_band_and_falls_back_on_lc():
     # An applied loop-closure factor couples distant nodes -> dense.
     state.lc_factors.append((0, 7, np.zeros(2), 0.0, 1.0, 1.0))
     assert solver._resolve_solver() == "dense"
+
+
+def test_explicit_band_refuses_out_of_band_factors():
+    """linear_solver='band' with long-range LC factors must hard-error:
+    the out-of-band coupling block would otherwise be silently dropped
+    by the scatter (wrong converged map, no error)."""
+    state, _ = make_problem(num_nodes=8, world_kind="room", num_beams=180,
+                            seed=9)
+    cfg = load_config_text(DEFAULTS)
+    solver = Solver(state, cfg, linear_solver="band")
+    state.lc_factors.append((0, 7, np.zeros(2), 0.0, 1.0, 1.0))
+    with pytest.raises(ValueError, match="band"):
+        solver._resolve_solver()
+
+
+def test_sharded_band_refuses_out_of_band_factors():
+    from nautilus_tpu.solve.factors import make_odom_factors
+    # Factor (7, 0) has delta 7 > w_band=3 -> must be rejected.
+    odom = make_odom_factors([0, 7], [1, 0], np.zeros((2, 2)), [0.0, 0.0])
+    from nautilus_tpu.parallel.sharded import sharded_sweep, default_mesh
+    from nautilus_tpu.solve.factors import empty_hitl
+    state, _ = make_problem(num_nodes=8, world_kind="room", num_beams=180,
+                            seed=9)
+    cfg = load_config_text(DEFAULTS)
+    solver = Solver(state, cfg)
+    x = solver._current_x()
+    with pytest.raises(ValueError, match="use_band"):
+        sharded_sweep(x, state.problem, solver._pair_src, solver._pair_tgt,
+                      odom, empty_hitl(x.dtype), solver._fixed_mask(),
+                      jnp.asarray(0.25, x.dtype), 1, 3,
+                      default_mesh(1), use_band=True)

@@ -52,7 +52,7 @@ def build_state(cfg, args, verbose=True):
             print(f"Captured {raw.points.shape[0]} nodes.")
     t0 = time.perf_counter()
     normals, pi, pm, ei, em, _ = preprocess(raw.points, raw.points_mask,
-                                            config=cfg)
+                                            config=cfg, as_numpy=False)
     problem = build_problem(raw, normals, pi, pm, ei, em, dtype=dtype)
     if verbose:
         print(f"Preprocessed (normals + features) in "

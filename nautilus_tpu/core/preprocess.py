@@ -312,12 +312,20 @@ def extract_features(points, mask, params: FeatureParams = FeatureParams(),
 def preprocess(points, mask,
                feature_params: FeatureParams = FeatureParams(),
                normal_params: NormalParams = NormalParams(),
-               config=None):
-    """Full preprocessing: normals + features, as host numpy arrays.
+               config=None, as_numpy: bool = True):
+    """Full preprocessing: normals + features.
 
     When a config is given, the nc_* keys drive the normal estimator
     (reference normal_computation.h:12-17); feature params stay at the
     reference's hardcoded values (slam_types.h:66-67) either way.
+
+    as_numpy=False returns device arrays and skips the device->host
+    readback: the downstream problem build (core/problem.build_problem)
+    consumes device arrays directly, and on this runtime large readbacks
+    are the bottleneck — the relay moves big buffers at ~1 MB/s and has
+    crashed on a ~300 MB transfer (N=50000's [50000, 768, 2] normals).
+    Use the default only when the caller truly needs host arrays
+    (npz ingest cache, tests).
     """
     if config is not None:
         normal_params = normal_params_from_config(
@@ -338,6 +346,8 @@ def preprocess(points, mask,
                               normal_params, chunk=chunk)
     planar_idx, planar_mask, edge_idx, edge_mask, scores = extract_features(
         jnp.asarray(pts), jnp.asarray(msk), feature_params, chunk=chunk)
-    return (np.asarray(normals[:n]), np.asarray(planar_idx[:n]),
-            np.asarray(planar_mask[:n]), np.asarray(edge_idx[:n]),
-            np.asarray(edge_mask[:n]), np.asarray(scores[:n]))
+    out = (normals[:n], planar_idx[:n], planar_mask[:n], edge_idx[:n],
+           edge_mask[:n], scores[:n])
+    if not as_numpy:
+        return out
+    return tuple(np.asarray(a) for a in out)

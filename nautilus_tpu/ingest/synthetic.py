@@ -235,8 +235,8 @@ def make_problem(num_nodes: int = 30, world_kind: str = "office",
 
     raw, gt = synthesize(num_nodes=num_nodes, world_kind=world_kind,
                          seed=seed, **kw)
-    normals, pidx, pmask, eidx, emask, _ = preprocess(raw.points,
-                                                      raw.points_mask)
+    normals, pidx, pmask, eidx, emask, _ = preprocess(
+        raw.points, raw.points_mask, as_numpy=False)
     problem = build_problem(raw, normals, pidx, pmask, eidx, emask,
                             dtype=dtype or jnp.float32)
     state = SLAMState.from_problem(problem, timestamps=raw.timestamps)

@@ -197,7 +197,14 @@ def _lm_body_banded(state, assemble_fn, cost_fn, fixed_dof, params: LMParams,
                                         superblock)
     step = dx if dxl is None else jnp.concatenate([dx, dxl], axis=0)
     x_new = x + step
-    new_cost = cost_fn(x_new)
+    # Assemble at the trial point UNCONDITIONALLY and use ITS cost for the
+    # accept decision: the linearization residuals are the same quantity
+    # total_cost evaluates, so the separate cost-only pass of the dense
+    # body is redundant work here.  On rejection the new system is simply
+    # discarded (a select over the small band carry) — cheaper than the
+    # dense body's evaluate-then-conditionally-assemble whenever the
+    # accept rate exceeds ~50%, which a converging LM run always does.
+    sys_new, new_cost = assemble_fn(x_new)
     Hdx, Hdxl = band_matvec(sysg, dx, dxl)
     gdx = jnp.sum(sysg.g * dx)
     dHd = jnp.sum(dx * Hdx)
@@ -210,8 +217,9 @@ def _lm_body_banded(state, assemble_fn, cost_fn, fixed_dof, params: LMParams,
         cost, new_cost, model_decrease, finite, radius, divisor, params,
         x.dtype)
 
-    sys2, cost2 = jax.lax.cond(
-        accept, assemble_fn, lambda _: (sys, cost), x_new)
+    sys2 = jax.tree.map(
+        lambda a, b: jnp.where(accept, a, b), sys_new, sys)
+    cost2 = jnp.where(accept, new_cost, cost)
     x2 = jnp.where(accept, x_new, x)
     return (x2, sys2, cost2, radius_new, divisor_new, it + 1, converged)
 

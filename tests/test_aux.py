@@ -258,3 +258,46 @@ class TestRosEncode:
         assert len(msg["data"]) == 57 * 12
         assert [f["name"] for f in msg["fields"]] == ["x", "y", "z"]
         np.testing.assert_allclose(decode_pointcloud2(msg), pts, atol=1e-7)
+
+
+class TestVectorizeGroundTruth:
+    """Backlog item: validate the vector map against the synthetic world's
+    true wall segments (reference comparison would need rviz + real bags;
+    ground-truth walls give a quantitative equivalent)."""
+
+    def test_vectorize_recovers_world_walls(self):
+        from nautilus_tpu.ingest.synthetic import make_world
+
+        state, _ = make_problem(num_nodes=20, world_kind="room",
+                                num_beams=360, seed=2,
+                                odom_noise_trans=0.02, odom_noise_rot=0.01)
+        cfg = load_config_text(CFG)
+        Solver(state, cfg).solve_slam()
+        segs = vectorize(state, None, verbose=False)
+        assert len(segs) >= 3   # a room has 4 walls; oblique views may merge
+
+        world = make_world("room")   # [S, 2, 2] true wall segments
+
+        def seg_to_wall_dist(p):
+            """Min distance of point p to any true wall segment."""
+            a, b = world[:, 0], world[:, 1]
+            ab = b - a
+            t = np.clip(np.einsum("sd,sd->s", p - a, ab)
+                        / np.maximum(np.einsum("sd,sd->s", ab, ab), 1e-12),
+                        0.0, 1.0)
+            proj = a + t[:, None] * ab
+            return np.min(np.linalg.norm(p - proj, axis=1))
+
+        # Precision: every extracted segment hugs a true wall (endpoints
+        # and midpoint within 20 cm given 2 cm odometry noise).
+        total_len = 0.0
+        for s0, s1 in segs:
+            s0, s1 = np.asarray(s0, float), np.asarray(s1, float)
+            for p in (s0, s1, 0.5 * (s0 + s1)):
+                assert seg_to_wall_dist(p) < 0.2, (s0, s1)
+            total_len += np.linalg.norm(s1 - s0)
+
+        # Recall: the extracted map covers a meaningful share of the
+        # visible wall perimeter.
+        perimeter = np.sum(np.linalg.norm(world[:, 1] - world[:, 0], axis=1))
+        assert total_len > 0.4 * perimeter

@@ -199,13 +199,114 @@ def total_cost(x, graph: FactorGraph):
 # Normal-equation assembly
 # ---------------------------------------------------------------------------
 
+def _dof_cols(idx_a, idx_b):
+    return jnp.concatenate(
+        [3 * idx_a[:, None] + jnp.arange(3)[None, :],
+         3 * idx_b[:, None] + jnp.arange(3)[None, :]], axis=1)  # [Q, 6]
+
+
+def _pt_and_jacobian(pose_s, pose_t, src_pts):
+    """One pair: transformed points p_t [S, 2] and A = dp_t/d(pose_s,
+    pose_t) [S, 2, 6] in closed form.
+
+    p_t = R(th_t)^T (R(th_s) p + t_s - t_t); the six columns are
+    R_t^T e_x, R_t^T e_y, R_t^T R'(th_s) p, -R_t^T e_x, -R_t^T e_y,
+    (R'(th_t))^T d — the last simplifying to [p_t.y, -p_t.x].
+    """
+    c_s, s_s = jnp.cos(pose_s[2]), jnp.sin(pose_s[2])
+    c_t, s_t = jnp.cos(pose_t[2]), jnp.sin(pose_t[2])
+    px, py = src_pts[..., 0], src_pts[..., 1]
+    wx = c_s * px - s_s * py + pose_s[0]
+    wy = s_s * px + c_s * py + pose_s[1]
+    dx, dy = wx - pose_t[0], wy - pose_t[1]
+    ptx = c_t * dx + s_t * dy
+    pty = -s_t * dx + c_t * dy
+    rpx = -s_s * px - c_s * py          # R'(th_s) p
+    rpy = c_s * px - s_s * py
+    one = jnp.ones_like(px)
+    cols = [
+        jnp.stack([c_t * one, -s_t * one], -1),
+        jnp.stack([s_t * one, c_t * one], -1),
+        jnp.stack([c_t * rpx + s_t * rpy, -s_t * rpx + c_t * rpy], -1),
+        jnp.stack([-c_t * one, s_t * one], -1),
+        jnp.stack([-s_t * one, -c_t * one], -1),
+        jnp.stack([pty, -ptx], -1),
+    ]
+    return jnp.stack([ptx, pty], -1), jnp.stack(cols, axis=-1)
+
+
+def _linearize_point_analytic(pose_s, pose_t, src_pts, tgt_pts, mask):
+    """(r [2S], J [2S, 6]) of point_residual for one pair, closed form."""
+    p_t, A = _pt_and_jacobian(pose_s, pose_t, src_pts)
+    m = mask.astype(pose_s.dtype)
+    r = (tgt_pts - p_t) * m[:, None]
+    J = -A * m[:, None, None]
+    S = src_pts.shape[0]
+    return r.reshape(2 * S), J.reshape(2 * S, 6)
+
+
+def _linearize_normal_analytic(pose_s, pose_t, src_pts, tgt_pts, src_nrm,
+                               tgt_nrm, mask):
+    """(r [2S], J [2S, 6]) of normal_residual for one pair, closed form."""
+    p_t, A = _pt_and_jacobian(pose_s, pose_t, src_pts)
+    m = mask.astype(pose_s.dtype)
+    diff = p_t - tgt_pts
+    r_tgt = jnp.sum(tgt_nrm * diff, axis=-1) * m
+    r_src = -jnp.sum(src_nrm * diff, axis=-1) * m
+    J_tgt = jnp.einsum("sd,sdk->sk", tgt_nrm, A) * m[:, None]
+    J_src = -jnp.einsum("sd,sdk->sk", src_nrm, A) * m[:, None]
+    S = src_pts.shape[0]
+    r = jnp.stack([r_tgt, r_src], axis=-1).reshape(2 * S)
+    J = jnp.stack([J_tgt, J_src], axis=-2).reshape(2 * S, 6)
+    return r, J
+
+
+def _linearize_odom_analytic(pose_i, pose_j, trans, rot, mask, tw, rw):
+    """(r [3], J [3, 6]) of odom_residual for one factor, closed form."""
+    r = odom_residual(pose_i, pose_j, trans, rot, mask, tw, rw)
+    m = mask.astype(pose_i.dtype)
+    z = jnp.zeros_like(tw)
+    J = jnp.stack([
+        jnp.stack([tw, z, z, -tw, z, z]),
+        jnp.stack([z, tw, z, z, -tw, z]),
+        jnp.stack([z, z, rw, z, z, -rw]),
+    ]) * m
+    return r, J
+
+
+_ANALYTIC = {
+    odom_residual: _linearize_odom_analytic,
+    point_residual: _linearize_point_analytic,
+    normal_residual: _linearize_normal_analytic,
+}
+
+
 def linearize_two_pose(x, idx_a, idx_b, item_fn, data):
     """Residuals + Jacobians of a batch of two-pose factors.
 
     item_fn(pose_a, pose_b, *data_item) -> residual array (raveled to [m]).
     Returns (r [Q, m], J [Q, m, 6], dof [Q, 6]) or None when the factor
     list is empty.
+
+    The hot residual types (odometry, point, normal) use closed-form
+    Jacobians — jacfwd costs ~7 residual evaluations per factor where the
+    closed form costs ~2, and linearization dominates large-N device time
+    (benchmarks/PROFILE.md N=20000 capture).  Types without an analytic
+    entry (HITL's clamped point-to-segment) fall back to jacfwd; the
+    jacfwd path doubles as the test oracle for the analytic forms
+    (tests/test_solver.py).
     """
+    if idx_a.shape[0] == 0:
+        return None
+    analytic = _ANALYTIC.get(item_fn)
+    if analytic is not None:
+        r, J = jax.vmap(analytic)(x[idx_a], x[idx_b], *data)
+        return r, J, _dof_cols(idx_a, idx_b)
+    return linearize_two_pose_jacfwd(x, idx_a, idx_b, item_fn, data)
+
+
+def linearize_two_pose_jacfwd(x, idx_a, idx_b, item_fn, data):
+    """jacfwd linearization (generic path + oracle for analytic forms)."""
     if idx_a.shape[0] == 0:
         return None
     p6 = jnp.concatenate([x[idx_a], x[idx_b]], axis=-1)   # [Q, 6]
@@ -215,10 +316,7 @@ def linearize_two_pose(x, idx_a, idx_b, item_fn, data):
 
     r = jax.vmap(f)(p6, *data)                       # [Q, m]
     J = jax.vmap(jax.jacfwd(f))(p6, *data)           # [Q, m, 6]
-    dof = jnp.concatenate(
-        [3 * idx_a[:, None] + jnp.arange(3)[None, :],
-         3 * idx_b[:, None] + jnp.arange(3)[None, :]], axis=1)  # [Q, 6]
-    return r, J, dof
+    return r, J, _dof_cols(idx_a, idx_b)
 
 
 def odom_factor_spec(graph: FactorGraph):

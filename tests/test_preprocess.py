@@ -134,3 +134,19 @@ class TestHoughNormals:
         assert p.bin_number == 32
         assert p.mean_distance == 0.1
         assert p.neighborhood_size == 0.15
+
+
+def test_device_and_numpy_paths_agree():
+    """preprocess(as_numpy=False) returns the same values as the default
+    host path (the device path exists because relay readbacks of large
+    buffers are slow/fragile; it must not change results)."""
+    import numpy as np
+    from nautilus_tpu.ingest.synthetic import synthesize
+    from nautilus_tpu.core.preprocess import preprocess
+
+    raw, _ = synthesize(num_nodes=6, world_kind="room", num_beams=180,
+                        seed=4)
+    host = preprocess(raw.points, raw.points_mask)
+    dev = preprocess(raw.points, raw.points_mask, as_numpy=False)
+    for h, d in zip(host, dev):
+        np.testing.assert_array_equal(h, np.asarray(d))

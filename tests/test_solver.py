@@ -373,3 +373,37 @@ class TestBandedAssembly:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestAnalyticJacobians:
+    """Closed-form Jacobians == jacfwd for every registered residual type
+    (the analytic forms are the hot path; jacfwd is the oracle)."""
+
+    def test_analytic_matches_jacfwd(self):
+        from nautilus_tpu.solve.factors import (graph_factor_specs,
+                                                linearize_two_pose,
+                                                linearize_two_pose_jacfwd)
+        state, _ = make_problem(num_nodes=7, world_kind="room",
+                                num_beams=240, seed=13,
+                                odom_noise_trans=0.04, odom_noise_rot=0.02)
+        cfg = load_config_text(DEFAULTS)
+        solver = Solver(state, cfg)
+        x = solver._current_x()
+        graph = solver.build_graph(x, window=3)
+        checked = 0
+        for (a, b, fn, data) in graph_factor_specs(graph):
+            fast = linearize_two_pose(x, a, b, fn, data)
+            slow = linearize_two_pose_jacfwd(x, a, b, fn, data)
+            if fast is None:
+                assert slow is None
+                continue
+            np.testing.assert_allclose(np.asarray(fast[0]),
+                                       np.asarray(slow[0]),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(fast[1]),
+                                       np.asarray(slow[1]),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(fast[2]),
+                                          np.asarray(slow[2]))
+            checked += 1
+        assert checked >= 3   # odom + planar + edge at minimum

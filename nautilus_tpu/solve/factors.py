@@ -206,19 +206,24 @@ def _dof_cols(idx_a, idx_b):
 
 
 def _pt_and_jacobian(pose_s, pose_t, src_pts):
-    """One pair: transformed points p_t [S, 2] and A = dp_t/d(pose_s,
-    pose_t) [S, 2, 6] in closed form.
+    """Transformed points p_t [Q, S, 2] and A = dp_t/d(pose_s, pose_t)
+    [Q, S, 2, 6] in closed form, batched over pairs.
 
     p_t = R(th_t)^T (R(th_s) p + t_s - t_t); the six columns are
     R_t^T e_x, R_t^T e_y, R_t^T R'(th_s) p, -R_t^T e_x, -R_t^T e_y,
     (R'(th_t))^T d — the last simplifying to [p_t.y, -p_t.x].
+
+    Batched (not vmapped-per-item) deliberately: the per-item vmap
+    formulation compiled to a program that killed the TPU worker at
+    Q ~ 20000 on this runtime (kernel fault); the batched broadcast form
+    compiles and runs everywhere.
     """
-    c_s, s_s = jnp.cos(pose_s[2]), jnp.sin(pose_s[2])
-    c_t, s_t = jnp.cos(pose_t[2]), jnp.sin(pose_t[2])
-    px, py = src_pts[..., 0], src_pts[..., 1]
-    wx = c_s * px - s_s * py + pose_s[0]
-    wy = s_s * px + c_s * py + pose_s[1]
-    dx, dy = wx - pose_t[0], wy - pose_t[1]
+    c_s, s_s = jnp.cos(pose_s[:, 2])[:, None], jnp.sin(pose_s[:, 2])[:, None]
+    c_t, s_t = jnp.cos(pose_t[:, 2])[:, None], jnp.sin(pose_t[:, 2])[:, None]
+    px, py = src_pts[..., 0], src_pts[..., 1]                 # [Q, S]
+    wx = c_s * px - s_s * py + pose_s[:, 0:1]
+    wy = s_s * px + c_s * py + pose_s[:, 1:2]
+    dx, dy = wx - pose_t[:, 0:1], wy - pose_t[:, 1:2]
     ptx = c_t * dx + s_t * dy
     pty = -s_t * dx + c_t * dy
     rpx = -s_s * px - c_s * py          # R'(th_s) p
@@ -236,42 +241,42 @@ def _pt_and_jacobian(pose_s, pose_t, src_pts):
 
 
 def _linearize_point_analytic(pose_s, pose_t, src_pts, tgt_pts, mask):
-    """(r [2S], J [2S, 6]) of point_residual for one pair, closed form."""
+    """(r [Q, 2S], J [Q, 2S, 6]) of point_residual, closed form."""
     p_t, A = _pt_and_jacobian(pose_s, pose_t, src_pts)
     m = mask.astype(pose_s.dtype)
-    r = (tgt_pts - p_t) * m[:, None]
-    J = -A * m[:, None, None]
-    S = src_pts.shape[0]
-    return r.reshape(2 * S), J.reshape(2 * S, 6)
+    r = (tgt_pts - p_t) * m[..., None]
+    J = -A * m[..., None, None]
+    Q, S = src_pts.shape[:2]
+    return r.reshape(Q, 2 * S), J.reshape(Q, 2 * S, 6)
 
 
 def _linearize_normal_analytic(pose_s, pose_t, src_pts, tgt_pts, src_nrm,
                                tgt_nrm, mask):
-    """(r [2S], J [2S, 6]) of normal_residual for one pair, closed form."""
+    """(r [Q, 2S], J [Q, 2S, 6]) of normal_residual, closed form."""
     p_t, A = _pt_and_jacobian(pose_s, pose_t, src_pts)
     m = mask.astype(pose_s.dtype)
     diff = p_t - tgt_pts
     r_tgt = jnp.sum(tgt_nrm * diff, axis=-1) * m
     r_src = -jnp.sum(src_nrm * diff, axis=-1) * m
-    J_tgt = jnp.einsum("sd,sdk->sk", tgt_nrm, A) * m[:, None]
-    J_src = -jnp.einsum("sd,sdk->sk", src_nrm, A) * m[:, None]
-    S = src_pts.shape[0]
-    r = jnp.stack([r_tgt, r_src], axis=-1).reshape(2 * S)
-    J = jnp.stack([J_tgt, J_src], axis=-2).reshape(2 * S, 6)
+    J_tgt = jnp.einsum("qsd,qsdk->qsk", tgt_nrm, A) * m[..., None]
+    J_src = -jnp.einsum("qsd,qsdk->qsk", src_nrm, A) * m[..., None]
+    Q, S = src_pts.shape[:2]
+    r = jnp.stack([r_tgt, r_src], axis=-1).reshape(Q, 2 * S)
+    J = jnp.stack([J_tgt, J_src], axis=-2).reshape(Q, 2 * S, 6)
     return r, J
 
 
 def _linearize_odom_analytic(pose_i, pose_j, trans, rot, mask, tw, rw):
-    """(r [3], J [3, 6]) of odom_residual for one factor, closed form."""
-    r = odom_residual(pose_i, pose_j, trans, rot, mask, tw, rw)
+    """(r [Q, 3], J [Q, 3, 6]) of odom_residual, closed form."""
+    r = jax.vmap(odom_residual)(pose_i, pose_j, trans, rot, mask, tw, rw)
     m = mask.astype(pose_i.dtype)
     z = jnp.zeros_like(tw)
-    J = jnp.stack([
-        jnp.stack([tw, z, z, -tw, z, z]),
-        jnp.stack([z, tw, z, z, -tw, z]),
-        jnp.stack([z, z, rw, z, z, -rw]),
-    ]) * m
-    return r, J
+    rows = jnp.stack([
+        jnp.stack([tw, z, z, -tw, z, z], -1),
+        jnp.stack([z, tw, z, z, -tw, z], -1),
+        jnp.stack([z, z, rw, z, z, -rw], -1),
+    ], axis=-2)                                   # [Q, 3, 6]
+    return r, rows * m[:, None, None]
 
 
 _ANALYTIC = {
@@ -281,7 +286,7 @@ _ANALYTIC = {
 }
 
 
-def linearize_two_pose(x, idx_a, idx_b, item_fn, data):
+def linearize_two_pose(x, idx_a, idx_b, item_fn, data, analytic=True):
     """Residuals + Jacobians of a batch of two-pose factors.
 
     item_fn(pose_a, pose_b, *data_item) -> residual array (raveled to [m]).
@@ -289,18 +294,18 @@ def linearize_two_pose(x, idx_a, idx_b, item_fn, data):
     list is empty.
 
     The hot residual types (odometry, point, normal) use closed-form
-    Jacobians — jacfwd costs ~7 residual evaluations per factor where the
-    closed form costs ~2, and linearization dominates large-N device time
-    (benchmarks/PROFILE.md N=20000 capture).  Types without an analytic
-    entry (HITL's clamped point-to-segment) fall back to jacfwd; the
-    jacfwd path doubles as the test oracle for the analytic forms
+    batched Jacobians — jacfwd costs ~7 residual evaluations per factor
+    where the closed form costs ~2, and linearization dominates device
+    time in the LM loop (benchmarks/PROFILE.md).  Types without an
+    analytic entry (HITL's clamped point-to-segment) fall back to jacfwd;
+    the jacfwd path doubles as the test oracle for the analytic forms
     (tests/test_solver.py).
     """
     if idx_a.shape[0] == 0:
         return None
-    analytic = _ANALYTIC.get(item_fn)
-    if analytic is not None:
-        r, J = jax.vmap(analytic)(x[idx_a], x[idx_b], *data)
+    closed_form = _ANALYTIC.get(item_fn) if analytic else None
+    if closed_form is not None:
+        r, J = closed_form(x[idx_a], x[idx_b], *data)
         return r, J, _dof_cols(idx_a, idx_b)
     return linearize_two_pose_jacfwd(x, idx_a, idx_b, item_fn, data)
 
@@ -477,7 +482,8 @@ def _accumulate_banded(x, corr_terms, layout: BandLayout):
     return diag, band, gd, cost
 
 
-def _scatter_band_factor(lv, gd, cost, x, idx_a, idx_b, item_fn, data):
+def _scatter_band_factor(lv, gd, cost, x, idx_a, idx_b, item_fn, data,
+                         analytic=True):
     """Scatter one two-node factor batch into band levels lv [w+1, N, 3, 3]
     (level 0 = diagonal, level d = block (i, i-d) at row i) + gradient gd.
 
@@ -485,7 +491,7 @@ def _scatter_band_factor(lv, gd, cost, x, idx_a, idx_b, item_fn, data):
     irregular factor lists and for shard-local slices of the pair list in
     the factor-sharded multi-chip path.  Requires |idx_a - idx_b| <= w.
     """
-    term = linearize_two_pose(x, idx_a, idx_b, item_fn, data)
+    term = linearize_two_pose(x, idx_a, idx_b, item_fn, data, analytic)
     if term is None:
         return lv, gd, cost
     r, J, _dof = term
@@ -556,7 +562,8 @@ def assemble_banded_scatter(x, graph: FactorGraph, n: int, w: int):
     return BandedSystem(diag=lv[0], band=lv[1:], g=gd, C=C, E=E, gl=gl), cost
 
 
-def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout):
+def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout,
+                           analytic: bool = True):
     """Assemble normal equations directly in block-band(+border) form.
 
     Returns (solve.band.BandedSystem, cost).  Identical algebra to
@@ -575,14 +582,15 @@ def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout):
     L = x.shape[0] - n   # line-pose slots
 
     corr_terms = [t for t in (
-        linearize_two_pose(x, a, b, fn, data)
+        linearize_two_pose(x, a, b, fn, data, analytic)
         for (a, b, fn, data) in corr_factor_specs(graph)) if t is not None]
     diag, band, gd, cost = _accumulate_banded(x, corr_terms, layout)
     lv = jnp.concatenate([diag[None], jnp.stack(band)]) if band else \
         diag[None]
 
     lv, gd, cost = _scatter_band_factor(lv, gd, cost, x,
-                                        *odom_factor_spec(graph))
+                                        *odom_factor_spec(graph),
+                                        analytic=analytic)
 
     C = E = gl = None
     if L:

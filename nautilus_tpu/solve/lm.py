@@ -253,19 +253,22 @@ def lm_loop_banded(x0, assemble_fn, cost_fn, fixed_dof,
 
 
 @functools.partial(jax.jit, static_argnames=("params", "layout",
-                                             "superblock"))
+                                             "superblock", "analytic"))
 def lm_solve_banded(x0, graph: FactorGraph, fixed_dof,
                     params: LMParams = LMParams(), layout=None,
-                    superblock: int = 16) -> LMResult:
+                    superblock: int = 16, analytic: bool = True) -> LMResult:
     """Run LM to convergence with the block-band linear solver.
 
     Requires the delta-major correspondence layout and every
     odometry/LC factor within the band (|i - j| <= layout.w); HITL line
-    poses are handled as a dense border."""
+    poses are handled as a dense border.  analytic=False falls back to
+    jacfwd linearization (see Solver.solve_slam for where that matters).
+    """
     from nautilus_tpu.solve.factors import assemble_banded_system
     return lm_loop_banded(
         x0,
-        assemble_fn=lambda x: assemble_banded_system(x, graph, layout),
+        assemble_fn=lambda x: assemble_banded_system(x, graph, layout,
+                                                     analytic),
         cost_fn=lambda x: total_cost(x, graph),
         fixed_dof=fixed_dof, params=params, superblock=superblock)
 

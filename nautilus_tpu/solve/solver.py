@@ -345,10 +345,17 @@ class Solver:
         dtype = self._dtype()
         outlier = jnp.asarray(cfg.outlier_threshold, dtype)
         t0 = time.perf_counter()
+        # Closed-form Jacobians inside the big fused graph crash the
+        # relay's TPU worker somewhere in (1000, 2000] poses (kernel
+        # fault, reproducible; jacfwd compiles of the same graph are
+        # fine, and the HOST-loop analytic path is fine to N=20000+).
+        # Validated fused+analytic scales keep the fast path; larger
+        # fused graphs fall back to jacfwd linearization.
+        analytic = self.state.num_nodes <= 1200
         out = _fused_sweep(
             x, problem, self._pair_src, self._pair_tgt, odom, hitl, fixed,
             outlier, w_min, w_max, self.lm_params, self.use_normal_gate,
-            self._layout, solver_kind == "band")
+            self._layout, solver_kind == "band", analytic)
         # One batched host fetch (the finite flag is computed on device so
         # the NaN guard does not cost an extra relay dispatch).
         x_out, init_costs, final_costs, iters, finite = jax.device_get(out)
@@ -476,11 +483,12 @@ class Solver:
 
 @functools.partial(jax.jit,
                    static_argnames=("w_min", "w_max", "lm_params",
-                                    "use_normal_gate", "layout", "use_band"))
+                                    "use_normal_gate", "layout", "use_band",
+                                    "analytic"))
 def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
                  w_min: int, w_max: int, lm_params,
                  use_normal_gate: bool = False, layout=None,
-                 use_band: bool = False):
+                 use_band: bool = False, analytic: bool = True):
     """OptimizeOverGrowingWindow as one device program.
 
     The window size is a runtime value inside the fori_loop (it only enters
@@ -511,7 +519,8 @@ def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
             res = lm_loop_banded(
                 x,
                 assemble_fn=lambda xx: assemble_banded_system(xx, graph,
-                                                              layout),
+                                                              layout,
+                                                              analytic),
                 cost_fn=lambda xx: total_cost(xx, graph),
                 fixed_dof=fixed, params=lm_params)
         else:

@@ -90,20 +90,26 @@ def select_poses(state: SLAMState, msg: HitlSlamInputMsg, config) -> HitlConstra
         jnp.asarray(msg.line_a_start, dtype), jnp.asarray(msg.line_a_end, dtype),
         jnp.asarray(msg.line_b_start, dtype), jnp.asarray(msg.line_b_end, dtype),
         jnp.asarray(config.hitl_line_width, dtype))
-    on_a = np.asarray(on_a)
-    on_b = np.asarray(on_b)
-    count_a = on_a.sum(axis=1)
-    count_b = on_b.sum(axis=1)
+    # Fetch per-node counts first ([N] ints), then gather ONLY the
+    # qualifying nodes' masks/points on device: full [N, P] mask + [N, P, 2]
+    # cloud readbacks dominated the curation-step wall on this runtime
+    # (large device->host transfers crawl through the relay).
+    count_a, count_b = jax.device_get((jnp.sum(on_a, axis=1),
+                                       jnp.sum(on_b, axis=1)))
     threshold = config.get_int("hitl_pose_point_threshold")
-    pts = np.asarray(problem.points)
+    a_nodes = np.nonzero(count_a >= threshold)[0]
+    # else-if: a pose qualifying for both joins only A (solver.cc:503-510).
+    b_nodes = np.nonzero((count_b >= threshold) & (count_a < threshold))[0]
     a_poses, b_poses = [], []
-    for node in range(problem.num_nodes):
-        if count_a[node] >= threshold:
-            a_poses.append((node, pts[node][on_a[node]].astype(np.float64)))
-        elif count_b[node] >= threshold:
-            # else-if: a pose qualifying for both joins only A
-            # (solver.cc:503-510).
-            b_poses.append((node, pts[node][on_b[node]].astype(np.float64)))
+    for nodes, on, out in ((a_nodes, on_a, a_poses),
+                           (b_nodes, on_b, b_poses)):
+        if not len(nodes):
+            continue
+        idx = jnp.asarray(nodes, jnp.int32)
+        masks, pts_sel = jax.device_get((on[idx], problem.points[idx]))
+        for k, node in enumerate(nodes):
+            out.append((int(node),
+                        pts_sel[k][masks[k]].astype(np.float64)))
     constraint = HitlConstraint(
         line_a=(np.asarray(msg.line_a_start, np.float64),
                 np.asarray(msg.line_a_end, np.float64)),

@@ -57,6 +57,12 @@ class BandedSystem(NamedTuple):
     C: Optional[jnp.ndarray]     # [N, L, 3, 3] or None
     E: Optional[jnp.ndarray]     # [L, 3, 3] or None
     gl: Optional[jnp.ndarray]    # [L, 3] or None
+    # Low-rank out-of-band block: long-range loop-closure factors whose
+    # Gauss-Newton contribution is H_lr = U U^T (U holds each factor's
+    # J^T columns).  Solved by the Woodbury identity against the band
+    # factorization, so applied loop closures do NOT break the O(N w)
+    # band path (solve_damped_banded).
+    U: Optional[jnp.ndarray] = None   # [3N, R] or None
 
     @property
     def n(self):
@@ -70,9 +76,14 @@ class BandedSystem(NamedTuple):
     def num_lines(self):
         return 0 if self.C is None else self.C.shape[1]
 
+    @property
+    def rank_lr(self):
+        return 0 if self.U is None else self.U.shape[1]
+
 
 def band_matvec(sys: BandedSystem, v, vl=None):
-    """H @ [v; vl] in band+border form.  v [N, 3] (+ vl [L, 3]) -> same."""
+    """H @ [v; vl] in band(+border, +low-rank) form.  v [N, 3]
+    (+ vl [L, 3]) -> same shapes."""
     out = jnp.einsum("nij,nj->ni", sys.diag, v, precision=HIGHEST)
     w = sys.w
     for d in range(1, w + 1):
@@ -83,6 +94,10 @@ def band_matvec(sys: BandedSystem, v, vl=None):
         # upper: out[i-d] += b[i]^T @ v[i]
         up = jnp.einsum("nji,nj->ni", b, v, precision=HIGHEST)
         out = out + jnp.pad(up[d:], ((0, d), (0, 0)))
+    if sys.rank_lr:
+        n = sys.n
+        uv = jnp.matmul(sys.U.T, v.reshape(3 * n), precision=HIGHEST)
+        out = out + jnp.matmul(sys.U, uv, precision=HIGHEST).reshape(n, 3)
     if sys.num_lines and vl is not None:
         out = out + jnp.einsum("nlij,lj->ni", sys.C, vl, precision=HIGHEST)
         outl = (jnp.einsum("nlij,ni->lj", sys.C, v, precision=HIGHEST)
@@ -114,7 +129,11 @@ def _apply_gauge_band(sys: BandedSystem, fixed):
         E = E * keepl[:, :, None] * keepl[:, None, :]
         E = E + jax.vmap(jnp.diag)(fl.astype(diag.dtype))
         gl = gl * keepl
-    return BandedSystem(diag, band, g, C, E, gl)
+    U = sys.U
+    if sys.rank_lr:
+        # Zeroing fixed ROWS of U zeroes both rows and columns of U U^T.
+        U = U * keep.reshape(3 * n)[:, None]
+    return BandedSystem(diag, band, g, C, E, gl, U)
 
 
 def _superblock_tridiag(sys: BandedSystem, s: int):
@@ -237,17 +256,30 @@ def band_apply_inverse(fac: BandFactorization, r):
 
 def solve_damped_banded(sys: BandedSystem, fixed, radius, params,
                         superblock: int = 16):
-    """Solve (H + D/radius) dx = -g in band(+border) form.
+    """Solve (H + D/radius) dx = -g in band(+border, +low-rank) form.
 
-    Mirrors lm._solve_damped: LM-scaled damping on the clipped diagonal,
-    gauge by fixed-dof masking, non-PD surfaces as NaNs (rejected step).
-    Returns (dx [N,3], dxl [L,3] or None, gauged system).
+    Mirrors lm._solve_damped: LM-scaled damping on the clipped diagonal
+    of the FULL H (band + low-rank contributions), gauge by fixed-dof
+    masking, non-PD surfaces as NaNs (rejected step).  Long-range
+    loop-closure factors (H_lr = U U^T) are folded in by the Woodbury
+    identity against the band factorization:
+
+        (Hb + U U^T)^{-1} z = Hb^{-1} z - T (I + U^T T)^{-1} U^T Hb^{-1} z,
+        T = Hb^{-1} U
+
+    so loop closures cost 3 extra RHS per factor instead of forcing the
+    O(N^2) dense path.  Returns (dx [N,3], dxl [L,3] or None, gauged
+    system).
     """
     sysg = _apply_gauge_band(sys, fixed)
     n = sysg.n
-    # Damping: d = clip(diag(H)); fixed dofs keep their unit diagonal.
-    dvec = jnp.clip(jax.vmap(jnp.diag)(sysg.diag),
-                    params.min_diagonal, params.max_diagonal)
+    R = sysg.rank_lr
+    # Damping: d = clip(diag(H_full)); fixed dofs keep their unit diagonal.
+    diag_full = jax.vmap(jnp.diag)(sysg.diag)
+    if R:
+        diag_full = diag_full + jnp.sum(sysg.U * sysg.U,
+                                        axis=1).reshape(n, 3)
+    dvec = jnp.clip(diag_full, params.min_diagonal, params.max_diagonal)
     fr = fixed[:3 * n].reshape(n, 3)
     dvec = jnp.where(fr, 0.0, dvec)
     diag = sysg.diag + jax.vmap(jnp.diag)(dvec / radius)
@@ -256,9 +288,28 @@ def solve_damped_banded(sys: BandedSystem, fixed, radius, params,
     s = max(superblock, sysg.w)
     fac = band_factor(dsys, s)
 
+    if R:
+        T = band_apply_inverse(fac, sysg.U.reshape(n, 3, R))  # Hb^-1 U
+        Tf = T.reshape(3 * n, R)
+        MW = jsl.cho_factor(
+            jnp.eye(R, dtype=Tf.dtype)
+            + jnp.matmul(sysg.U.T, Tf, precision=HIGHEST))
+
+        def node_inverse(z):
+            """(Hb + U U^T)^{-1} z for z [N, 3, m] or [N, 3]."""
+            z1 = band_apply_inverse(fac, z)
+            flat = z1.reshape(3 * n, -1)
+            corr = jnp.matmul(Tf, jsl.cho_solve(
+                MW, jnp.matmul(sysg.U.T, flat, precision=HIGHEST)),
+                precision=HIGHEST)
+            return z1 - corr.reshape(z1.shape)
+    else:
+        def node_inverse(z):
+            return band_apply_inverse(fac, z)
+
     L = sysg.num_lines
     if not L:
-        dx = band_apply_inverse(fac, -sysg.g)
+        dx = node_inverse(-sysg.g)
         return dx, None, sysg
 
     # Bordered solve via Schur complement on the line block.
@@ -272,8 +323,8 @@ def solve_damped_banded(sys: BandedSystem, fixed, radius, params,
 
     C2 = sysg.C.transpose(0, 2, 1, 3).reshape(n, 3, 3 * L)   # [N, 3, 3L]
     rhs = jnp.concatenate([C2, -sysg.g[..., None]], axis=-1)
-    sol = band_apply_inverse(fac, rhs)                        # [N, 3, 3L+1]
-    Y, u = sol[..., :3 * L], sol[..., 3 * L]                  # Hb^-1 C, -Hb^-1 g
+    sol = node_inverse(rhs)                                   # [N, 3, 3L+1]
+    Y, u = sol[..., :3 * L], sol[..., 3 * L]                  # Hn^-1 C, -Hn^-1 g
     CtY = jnp.einsum("nim,nik->mk", C2, Y, precision=HIGHEST)
     Ctu = jnp.einsum("nim,ni->m", C2, u, precision=HIGHEST)
     S_schur = E_dense - CtY

@@ -562,8 +562,34 @@ def assemble_banded_scatter(x, graph: FactorGraph, n: int, w: int):
     return BandedSystem(diag=lv[0], band=lv[1:], g=gd, C=C, E=E, gl=gl), cost
 
 
+def lowrank_factor_columns(x, lr: "OdomFactors", n: int, analytic=True):
+    """(U [3n, 3K], g_lr [n, 3], cost) of long-range loop-closure factors.
+
+    Each factor's Gauss-Newton contribution is J^T J with J [3, 6]; U
+    holds the 3K columns J^T so H_lr = U U^T exactly.  K is small (one
+    column triple per applied loop closure), so the band solver folds
+    these in via the Woodbury identity (solve/band.py) instead of
+    falling back to dense H.
+    """
+    term = linearize_two_pose(x, lr.i, lr.j, odom_residual,
+                              (lr.trans, lr.rot, lr.mask, lr.wt, lr.wr),
+                              analytic)
+    if term is None:
+        return None, None, jnp.zeros((), x.dtype)
+    r, J, dof = term                      # [K, 3], [K, 3, 6], [K, 6]
+    K = r.shape[0]
+    cost = 0.5 * jnp.sum(r * r)
+    gq = jnp.einsum("kmi,km->ki", J, r, precision=HIGHEST)   # [K, 6]
+    g_lr = jnp.zeros((3 * n,), x.dtype).at[dof].add(gq).reshape(n, 3)
+    # U[dof[k, i], 3k + m] = J[k, m, i]
+    U = jnp.zeros((3 * n, 3 * K), x.dtype)
+    cols = (3 * jnp.arange(K)[:, None] + jnp.arange(3)[None, :])  # [K, 3]
+    U = U.at[dof[:, None, :], cols[:, :, None]].add(J)
+    return U, g_lr, cost
+
+
 def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout,
-                           analytic: bool = True):
+                           analytic: bool = True, lr: "OdomFactors" = None):
     """Assemble normal equations directly in block-band(+border) form.
 
     Returns (solve.band.BandedSystem, cost).  Identical algebra to
@@ -592,10 +618,18 @@ def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout,
                                         *odom_factor_spec(graph),
                                         analytic=analytic)
 
+    U = None
+    if lr is not None and lr.count:
+        U, g_lr, cost_lr = lowrank_factor_columns(x, lr, n, analytic)
+        if U is not None:
+            gd = gd + g_lr
+            cost = cost + cost_lr
+
     C = E = gl = None
     if L:
         lv, gd, cost, C, E, gl = _hitl_border(lv, gd, cost, x, graph, n, L)
-    return BandedSystem(diag=lv[0], band=lv[1:], g=gd, C=C, E=E, gl=gl), cost
+    return BandedSystem(diag=lv[0], band=lv[1:], g=gd, C=C, E=E, gl=gl,
+                        U=U), cost
 
 
 def _band_to_dense(diag, band, layout: BandLayout):

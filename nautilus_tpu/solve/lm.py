@@ -256,19 +256,22 @@ def lm_loop_banded(x0, assemble_fn, cost_fn, fixed_dof,
                                              "superblock", "analytic"))
 def lm_solve_banded(x0, graph: FactorGraph, fixed_dof,
                     params: LMParams = LMParams(), layout=None,
-                    superblock: int = 16, analytic: bool = True) -> LMResult:
+                    superblock: int = 16, analytic: bool = True,
+                    lr=None) -> LMResult:
     """Run LM to convergence with the block-band linear solver.
 
-    Requires the delta-major correspondence layout and every
-    odometry/LC factor within the band (|i - j| <= layout.w); HITL line
-    poses are handled as a dense border.  analytic=False falls back to
+    Requires the delta-major correspondence layout and every in-graph
+    odometry factor within the band (|i - j| <= layout.w); HITL line
+    poses are handled as a dense border, and long-range loop-closure
+    factors go in via ``lr`` (an OdomFactors batch) as a low-rank
+    Woodbury term — NOT via graph.odom.  analytic=False falls back to
     jacfwd linearization (see Solver.solve_slam for where that matters).
     """
     from nautilus_tpu.solve.factors import assemble_banded_system
     return lm_loop_banded(
         x0,
         assemble_fn=lambda x: assemble_banded_system(x, graph, layout,
-                                                     analytic),
+                                                     analytic, lr),
         cost_fn=lambda x: total_cost(x, graph),
         fixed_dof=fixed_dof, params=params, superblock=superblock)
 

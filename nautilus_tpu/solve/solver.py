@@ -63,7 +63,8 @@ class SolveStats:
 
 
 def odom_factors_from_state(state: SLAMState, dtype, tw, rw,
-                            pad_to: int = 256) -> OdomFactors:
+                            pad_to: int = 256,
+                            lc_factors=None) -> OdomFactors:
     """Active odometry factors + any loop-closure factors, with weights.
 
     The factor count is padded to a multiple of ``pad_to`` with masked
@@ -72,7 +73,8 @@ def odom_factors_from_state(state: SLAMState, dtype, tw, rw,
     """
     i, j, trans, rot = state.odometry_factors
     parts = [make_odom_factors(i, j, trans, rot, tw, rw, dtype)]
-    for (li, lj, ltrans, lrot, lwt, lwr) in state.lc_factors:
+    lc = state.lc_factors if lc_factors is None else lc_factors
+    for (li, lj, ltrans, lrot, lwt, lwr) in lc:
         parts.append(make_odom_factors([li], [lj], [ltrans], [lrot],
                                        lwt, lwr, dtype))
     od = parts[0] if len(parts) == 1 else OdomFactors(
@@ -149,19 +151,33 @@ class Solver:
 
     # -- graph construction -------------------------------------------------
 
+    # Long-range LC factors ride the band solver as a Woodbury low-rank
+    # term; each contributes 3 columns, and the (R x R) Woodbury core is
+    # solved dense, so cap the count (dense path takes over beyond it).
+    LR_FACTOR_CAP = 341   # 3 * 341 = 1023 columns
+
+    def _split_lc(self):
+        """state.lc_factors split into (in-band, long-range) by delta."""
+        w = self._layout.w if self._layout is not None else 0
+        in_b, lr = [], []
+        for f in self.state.lc_factors:
+            (in_b if abs(int(f[0]) - int(f[1])) <= w else lr).append(f)
+        return in_b, lr
+
     def _band_eligible(self) -> bool:
-        """Band solver applies when every odometry/LC factor couples nodes
-        within the correspondence band |i - j| <= layout.w (HITL line
-        poses are fine — they solve as a dense border).  Auto-LC applied
-        factors couple distant nodes and force the dense path."""
+        """Band solver applies when every ODOMETRY factor couples nodes
+        within the correspondence band |i - j| <= layout.w.  HITL line
+        poses solve as a dense border, and long-range loop-closure
+        factors as a Woodbury low-rank term (up to LR_FACTOR_CAP)."""
         if self._layout is None:
             return False
         i, j, _, _ = self.state.odometry_factors
         max_d = int(np.max(np.abs(np.asarray(i) - np.asarray(j)))) \
             if len(i) else 0
-        for (li, lj, *_rest) in self.state.lc_factors:
-            max_d = max(max_d, abs(int(li) - int(lj)))
-        return max_d <= self._layout.w
+        if max_d > self._layout.w:
+            return False
+        _, lr = self._split_lc()
+        return len(lr) <= self.LR_FACTOR_CAP
 
     def _resolve_solver(self) -> str:
         """Per-solve linear-solver choice ('auto' depends on the current
@@ -180,10 +196,11 @@ class Solver:
                 # while keeping gradient/cost — a wrong converged map, not
                 # an error.  Refuse instead.
                 raise ValueError(
-                    "linear_solver='band' requires every odometry/LC "
-                    "factor within |i - j| <= window max (and >= 2 nodes); "
-                    "this problem has out-of-band factors — use 'dense' "
-                    "or 'auto'.")
+                    "linear_solver='band' requires >= 2 nodes, every "
+                    "odometry factor within |i - j| <= window max, and at "
+                    "most LR_FACTOR_CAP long-range loop-closure factors "
+                    "(they solve as a Woodbury low-rank term) — use "
+                    "'dense' or 'auto'.")
             return self.linear_solver
         if self._band_eligible():
             return "band"
@@ -223,9 +240,11 @@ class Solver:
         mask[3 * (n + L):] = True  # unused line-pose slots
         return jnp.asarray(mask)
 
-    def _odom_factors(self) -> OdomFactors:
+    def _odom_factors(self, exclude_long_range: bool = False) -> OdomFactors:
         """Device odometry factors, cached across the window sweep (the
-        factor list only changes on HITL/LC events).
+        factor list only changes on HITL/LC events).  With
+        exclude_long_range, LC factors beyond the band go to
+        _long_range_factors() instead (band-solver path).
 
         Padded to the session's high-water-mark bucket so that e.g. the
         HITL flow's second solve (back to sparse odometry) reuses the
@@ -237,12 +256,15 @@ class Solver:
         cached = getattr(self, "_odom_cache", None)
         if (cached is not None
                 and cached[0] is self.state.odometry_factors
-                and cached[1] == len(self.state.lc_factors)):
-            return cached[2]
+                and cached[1] == len(self.state.lc_factors)
+                and cached[2] == exclude_long_range):
+            return cached[3]
         cfg = self.config
+        lc = self._split_lc()[0] if exclude_long_range else None
         odom = odom_factors_from_state(self.state, self._dtype(),
                                        cfg.translation_weight,
-                                       cfg.rotation_weight)
+                                       cfg.rotation_weight,
+                                       lc_factors=lc)
         hwm = max(getattr(self, "_odom_bucket", 0), odom.i.shape[0])
         self._odom_bucket = hwm
         if odom.i.shape[0] < hwm:
@@ -255,8 +277,39 @@ class Solver:
                 wt=jnp.pad(odom.wt, (0, pad)),
                 wr=jnp.pad(odom.wr, (0, pad)))
         self._odom_cache = (self.state.odometry_factors,
-                            len(self.state.lc_factors), odom)
+                            len(self.state.lc_factors), exclude_long_range,
+                            odom)
         return odom
+
+    def _long_range_factors(self):
+        """Long-range loop-closure factors as an OdomFactors batch for the
+        band solver's Woodbury term (None when there are none).  Padded to
+        a power-of-two bucket with masked rows so applying more closures
+        rarely recompiles."""
+        _, lr = self._split_lc()
+        if not lr:
+            return None
+        cfg = self.config
+        dtype = self._dtype()
+        i = [int(f[0]) for f in lr]
+        j = [int(f[1]) for f in lr]
+        trans = np.asarray([f[2] for f in lr], np.float64)
+        rot = np.asarray([f[3] for f in lr], np.float64)
+        wt = np.asarray([f[4] for f in lr], np.float64)
+        wr = np.asarray([f[5] for f in lr], np.float64)
+        k = len(lr)
+        b = 4
+        while b < k:
+            b *= 2
+        pad = b - k
+        return OdomFactors(
+            i=jnp.asarray(np.pad(i, (0, pad)), jnp.int32),
+            j=jnp.asarray(np.pad(j, (0, pad)), jnp.int32),
+            trans=jnp.asarray(np.pad(trans, ((0, pad), (0, 0))), dtype),
+            rot=jnp.asarray(np.pad(rot, (0, pad)), dtype),
+            mask=jnp.asarray(np.arange(b) < k),
+            wt=jnp.asarray(np.pad(wt, (0, pad)), dtype),
+            wr=jnp.asarray(np.pad(wr, (0, pad)), dtype))
 
     def _hitl_factors(self) -> HitlFactors:
         if not self.state.hitl_constraints:
@@ -265,7 +318,8 @@ class Solver:
         return build_hitl_factors(self.state, dtype=self._dtype())
 
     def build_graph(self, x, window,
-                    optimization_type: str = "feature") -> FactorGraph:
+                    optimization_type: str = "feature",
+                    exclude_long_range: bool = False) -> FactorGraph:
         """Factor graph at solution x for one window size.
 
         optimization_type mirrors the reference enum (solver.h:69):
@@ -279,7 +333,7 @@ class Solver:
         problem = self.state.problem
         outlier = cfg.outlier_threshold
         n = problem.num_nodes
-        odom = self._odom_factors()
+        odom = self._odom_factors(exclude_long_range)
         if optimization_type == "all":
             full = correspond.associate_chunked(
                 problem, x[:n], self.pairs, window, outlier, feature="all",
@@ -340,7 +394,9 @@ class Solver:
         x = self._current_x()
         fixed = self._fixed_mask()
         problem = self.state.problem
-        odom = self._odom_factors()
+        use_band = solver_kind == "band"
+        odom = self._odom_factors(exclude_long_range=use_band)
+        lr = self._long_range_factors() if use_band else None
         hitl = self._hitl_factors()
         dtype = self._dtype()
         outlier = jnp.asarray(cfg.outlier_threshold, dtype)
@@ -355,7 +411,7 @@ class Solver:
         out = _fused_sweep(
             x, problem, self._pair_src, self._pair_tgt, odom, hitl, fixed,
             outlier, w_min, w_max, self.lm_params, self.use_normal_gate,
-            self._layout, solver_kind == "band", analytic)
+            self._layout, use_band, analytic, lr)
         # One batched host fetch (the finite flag is computed on device so
         # the NaN guard does not cost an extra relay dispatch).
         x_out, init_costs, final_costs, iters, finite = jax.device_get(out)
@@ -387,14 +443,16 @@ class Solver:
         fixed = self._fixed_mask()
         solver_kind = self._resolve_solver()
         t0 = time.perf_counter()
-        graph = self.build_graph(x, w, optimization_type)
+        graph = self.build_graph(x, w, optimization_type,
+                                 exclude_long_range=solver_kind == "band")
         if solver_kind == "cg":
             from nautilus_tpu.solve.cg import lm_solve_cg
             res = lm_solve_cg(x, graph, fixed, params=self.lm_params)
         elif solver_kind == "band":
             from nautilus_tpu.solve.lm import lm_solve_banded
             res = lm_solve_banded(x, graph, fixed, params=self.lm_params,
-                                  layout=self._layout)
+                                  layout=self._layout,
+                                  lr=self._long_range_factors())
         else:
             res = lm_solve(x, graph, fixed, params=self.lm_params,
                            layout=self._layout)
@@ -421,16 +479,19 @@ class Solver:
         w_max = cfg.get_int("lidar_constraint_amount_max")
         for window in range(w_min, w_max + 1):
             t0 = time.perf_counter()
-            graph = self.build_graph(x, window, optimization_type)
+            use_band = solver_kind == "band" and not self.per_iteration_viz
+            graph = self.build_graph(x, window, optimization_type,
+                                     exclude_long_range=use_band)
             if solver_kind == "cg":
                 from nautilus_tpu.solve.cg import lm_solve_cg
                 res: LMResult = lm_solve_cg(x, graph, fixed,
                                             params=self.lm_params)
-            elif solver_kind == "band" and not self.per_iteration_viz:
+            elif use_band:
                 from nautilus_tpu.solve.lm import lm_solve_banded
                 res = lm_solve_banded(x, graph, fixed,
                                       params=self.lm_params,
-                                      layout=self._layout)
+                                      layout=self._layout,
+                                      lr=self._long_range_factors())
             elif self.per_iteration_viz:
                 from nautilus_tpu.solve.lm import lm_solve_stepped
                 self._viz_window = window
@@ -488,7 +549,7 @@ class Solver:
 def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
                  w_min: int, w_max: int, lm_params,
                  use_normal_gate: bool = False, layout=None,
-                 use_band: bool = False, analytic: bool = True):
+                 use_band: bool = False, analytic: bool = True, lr=None):
     """OptimizeOverGrowingWindow as one device program.
 
     The window size is a runtime value inside the fori_loop (it only enters
@@ -520,7 +581,7 @@ def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
                 x,
                 assemble_fn=lambda xx: assemble_banded_system(xx, graph,
                                                               layout,
-                                                              analytic),
+                                                              analytic, lr),
                 cost_fn=lambda xx: total_cost(xx, graph),
                 fixed_dof=fixed, params=lm_params)
         else:

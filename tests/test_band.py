@@ -148,28 +148,68 @@ def test_full_solve_band_vs_dense():
                                atol=1e-3)
 
 
-def test_auto_resolves_band_and_falls_back_on_lc():
+def test_auto_stays_band_with_lc_woodbury():
     state, _ = make_problem(num_nodes=8, world_kind="room", num_beams=180,
                             seed=9)
     cfg = load_config_text(DEFAULTS)
     solver = Solver(state, cfg)
     assert solver._resolve_solver() == "band"
-    # An applied loop-closure factor couples distant nodes -> dense.
+    # Applied loop-closure factors ride the band solver as a Woodbury
+    # low-rank term — auto stays band.
     state.lc_factors.append((0, 7, np.zeros(2), 0.0, 1.0, 1.0))
-    assert solver._resolve_solver() == "dense"
+    assert solver._resolve_solver() == "band"
+    assert solver._long_range_factors() is not None
+    # ...until the low-rank cap, where dense takes over.
+    solver2 = Solver(state, cfg)
+    state.lc_factors.extend([(0, 7, np.zeros(2), 0.0, 1.0, 1.0)]
+                            * solver2.LR_FACTOR_CAP)
+    assert solver2._resolve_solver() == "dense"
 
 
-def test_explicit_band_refuses_out_of_band_factors():
-    """linear_solver='band' with long-range LC factors must hard-error:
-    the out-of-band coupling block would otherwise be silently dropped
-    by the scatter (wrong converged map, no error)."""
+def test_explicit_band_refuses_beyond_lr_cap():
+    """linear_solver='band' beyond the Woodbury low-rank cap must
+    hard-error instead of silently degrading."""
     state, _ = make_problem(num_nodes=8, world_kind="room", num_beams=180,
                             seed=9)
     cfg = load_config_text(DEFAULTS)
     solver = Solver(state, cfg, linear_solver="band")
-    state.lc_factors.append((0, 7, np.zeros(2), 0.0, 1.0, 1.0))
+    state.lc_factors.extend([(0, 7, np.zeros(2), 0.0, 1.0, 1.0)]
+                            * (solver.LR_FACTOR_CAP + 1))
     with pytest.raises(ValueError, match="band"):
         solver._resolve_solver()
+
+
+def test_band_woodbury_matches_dense_with_lc():
+    """A graph with applied long-range loop closures: the band+Woodbury
+    solve equals the dense solve."""
+    state, _ = make_problem(num_nodes=12, world_kind="room", num_beams=240,
+                            seed=7, odom_noise_trans=0.03,
+                            odom_noise_rot=0.01)
+    cfg = load_config_text(DEFAULTS)
+    # Two long-range closures tying the ends together (delta > w_max=3).
+    for (a, b) in ((0, 10), (1, 11)):
+        rel = state.solution[b] - state.solution[a]
+        state.lc_factors.append((a, b, rel[:2].copy(), float(rel[2]),
+                                 3.0, 2.0))
+    x0 = state.solution.copy()
+    s_dense = Solver(state, cfg, linear_solver="dense")
+    assert s_dense._resolve_solver() == "dense"
+    st_dense = s_dense.solve_slam()
+    sol_dense = state.solution.copy()
+    state.solution = x0.copy()
+    s_band = Solver(state, cfg, linear_solver="band")
+    assert s_band._resolve_solver() == "band"
+    st_band = s_band.solve_slam()
+    np.testing.assert_allclose(st_band.final_cost, st_dense.final_cost,
+                               rtol=1e-3)
+    np.testing.assert_allclose(state.solution, sol_dense, rtol=5e-3,
+                               atol=1e-3)
+    # Also via the host window loop (fused_sweep=False).
+    state.solution = x0.copy()
+    s_host = Solver(state, cfg, linear_solver="band", fused_sweep=False)
+    st_host = s_host.solve_slam()
+    np.testing.assert_allclose(st_host.final_cost, st_dense.final_cost,
+                               rtol=1e-3)
 
 
 def test_sharded_band_refuses_out_of_band_factors():

@@ -107,12 +107,12 @@ class Solver:
                  per_iteration_viz: bool = False,
                  fused_sweep: Optional[bool] = None):
         """linear_solver: 'band' (block-band Cholesky, solve/band.py —
-        the default: fastest at every scale and O(N w) memory, usable
-        whenever all factors couple nodes within the window), 'dense'
-        (dense Cholesky normal equations — required when loop-closure
-        factors couple distant nodes), 'cg' (matrix-free PCG,
-        solve/cg.py), or 'auto' (band when eligible, else dense below the
-        dense-H memory wall, else cg).
+        the default: fastest at every scale, O(N w) memory; HITL line
+        poses solve as a Schur border and long-range loop closures as a
+        Woodbury low-rank term), 'dense' (dense Cholesky normal
+        equations — only needed beyond the low-rank cap), 'cg'
+        (matrix-free PCG, solve/cg.py), or 'auto' (band when eligible,
+        else dense below the dense-H memory wall, else cg).
 
         use_normal_gate enables normal-similarity gating in correspondence
         search (the reference's GetPointToNormalMatching,

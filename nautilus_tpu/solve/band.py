@@ -234,28 +234,165 @@ class BandFactorization(NamedTuple):
     s: int
 
 
-def band_factor(sys: BandedSystem, s: int) -> BandFactorization:
+# ---------------------------------------------------------------------------
+# Cyclic reduction: a log-depth alternative to the sequential scan
+# factorization.  The scan costs O(K) dependent steps (the dominant device
+# cost of the LM loop once assembly went scatter-free); CR eliminates the
+# odd superblocks level by level — ceil(log2 K) batched stages of small
+# Cholesky/matmul work — at ~2x the FLOPs.
+# ---------------------------------------------------------------------------
+
+class CRLevel(NamedTuple):
+    """One elimination level.  Block-row convention: row i holds
+    B_i x_{i-1} + A_i x_i + B_{i+1}^T x_{i+1} = r_i (B_0 = B_K = 0);
+    'odd' = rows 1, 3, ... of this level, Ko = k/2 of them."""
+
+    cho_odd: jnp.ndarray    # [Ko, S, S] Cholesky of A_{2i+1}
+    B_ev: jnp.ndarray       # [Ko, S, S] B_{2i}   (even-row left coupling)
+    B_od: jnp.ndarray       # [Ko, S, S] B_{2i+1} (odd-row  left coupling)
+    AiB_od: jnp.ndarray     # [Ko, S, S] A_{2i+1}^{-1} B_{2i+1}
+    AiBevT: jnp.ndarray     # [Ko, S, S] A_{2i+1}^{-1} B_{2i+2}^T
+
+
+class CRFactorization(NamedTuple):
+    levels: tuple           # of CRLevel, finest first
+    cho_root: jnp.ndarray   # [1, S, S]
+    K: int
+    pad_n: int
+    s: int
+
+
+def _cho_batch(A):
+    return jnp.linalg.cholesky(A)
+
+
+def _cho_solve_batch(L, b):
+    """Solve (L L^T) x = b for batched L [K, S, S], b [K, S, m]."""
+    y = jsl.solve_triangular(L, b, lower=True)
+    return jsl.solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)
+
+
+def cr_factor_tridiag(A, B) -> CRFactorization:
+    """Factor the superblock tridiagonal by block cyclic reduction.
+
+    A [K, S, S] diagonals, B [K, S, S] sub-diagonals (B_0 = 0); K is
+    padded to a power of two with identity diagonals (decoupled rows).
+    Each level eliminates the odd rows, yielding the half-size
+    tridiagonal over even rows:
+
+      A'_i = A_{2i} - B_{2i} A_{2i-1}^{-1} B_{2i}^T
+                    - B_{2i+1}^T A_{2i+1}^{-1} B_{2i+1}
+      B'_i = -B_{2i} A_{2i-1}^{-1} B_{2i-1}
+
+    ceil(log2 K) batched stages instead of the scan's K dependent steps.
+    """
+    K0, S = A.shape[0], A.shape[1]
+    K = 1
+    while K < K0:
+        K *= 2
+    if K != K0:
+        eye = jnp.broadcast_to(jnp.eye(S, dtype=A.dtype), (K - K0, S, S))
+        A = jnp.concatenate([A, eye])
+        B = jnp.concatenate([B, jnp.zeros((K - K0, S, S), A.dtype)])
+    levels = []
+    while A.shape[0] > 1:
+        zS = jnp.zeros((1, S, S), A.dtype)
+        A_odd = A[1::2]
+        cho_odd = _cho_batch(A_odd)
+        B_ev = B[0::2]                                     # B_{2i}
+        B_od = B[1::2]                                     # B_{2i+1}
+        B_next = jnp.concatenate([B[2::2], zS])            # B_{2i+2}
+        AiB_od = _cho_solve_batch(cho_odd, B_od)
+        AiBevT = _cho_solve_batch(cho_odd,
+                                  jnp.swapaxes(B_next, -1, -2))
+        levels.append(CRLevel(cho_odd, B_ev, B_od, AiB_od, AiBevT))
+
+        A_ev = A[0::2]
+        # Right correction of even row 2i: B_{2i+1}^T A_{2i+1}^{-1} B_{2i+1}.
+        corr_r = jnp.matmul(jnp.swapaxes(B_od, -1, -2), AiB_od,
+                            precision=HIGHEST)
+        # Left correction: B_{2i} A_{2i-1}^{-1} B_{2i}^T (odd row i-1).
+        AiBevT_prev = jnp.concatenate(
+            [zS, _cho_solve_batch(cho_odd[:-1],
+                                  jnp.swapaxes(B_ev[1:], -1, -2))])
+        corr_l = jnp.matmul(B_ev, AiBevT_prev, precision=HIGHEST)
+        A_new = A_ev - corr_l - corr_r
+        # New sub-diagonal: B'_i = -B_{2i} A_{2i-1}^{-1} B_{2i-1}.
+        AiB_prev = jnp.concatenate(
+            [zS, _cho_solve_batch(cho_odd[:-1], B_od[:-1])])
+        B_new = -jnp.matmul(B_ev, AiB_prev, precision=HIGHEST)
+        A, B = A_new, B_new
+    return CRFactorization(tuple(levels), _cho_batch(A), K, 0, S // 3)
+
+
+def cr_solve_tridiag(fac: CRFactorization, r):
+    """Solve with a cr_factor_tridiag factorization.  r [K0, S, m]."""
+    S = fac.cho_root.shape[1]
+    K0 = r.shape[0]
+    m = r.shape[-1]
+    if fac.K != K0:
+        r = jnp.concatenate([r, jnp.zeros((fac.K - K0, S, m), r.dtype)])
+    # Forward: reduce the RHS level by level.
+    # r'_i = r_{2i} - B_{2i} A_{2i-1}^{-1} r_{2i-1}
+    #              - B_{2i+1}^T A_{2i+1}^{-1} r_{2i+1}
+    stack = []
+    for lvl in fac.levels:
+        zSm = jnp.zeros((1, S, m), r.dtype)
+        z = _cho_solve_batch(lvl.cho_odd, r[1::2])         # A_odd^{-1} r_odd
+        stack.append(z)
+        z_prev = jnp.concatenate([zSm, z[:-1]])
+        r = r[0::2] \
+            - jnp.matmul(lvl.B_ev, z_prev, precision=HIGHEST) \
+            - jnp.matmul(jnp.swapaxes(lvl.B_od, -1, -2), z,
+                         precision=HIGHEST)
+    x = _cho_solve_batch(fac.cho_root, r)                   # [1, S, m]
+    # Backward: x_{2i+1} = A_{2i+1}^{-1} (r_{2i+1} - B_{2i+1} x_{2i}
+    #                                     - B_{2i+2}^T x_{2i+2})
+    #                    = z_i - AiB_od x_{2i} - AiBevT x_{2i+2}
+    for lvl, z in zip(reversed(fac.levels), reversed(stack)):
+        zSm = jnp.zeros((1, S, m), r.dtype)
+        x_right = jnp.concatenate([x[1:], zSm])
+        x_odd = z \
+            - jnp.matmul(lvl.AiB_od, x, precision=HIGHEST) \
+            - jnp.matmul(lvl.AiBevT, x_right, precision=HIGHEST)
+        k2 = x.shape[0] * 2
+        merged = jnp.zeros((k2, S, m), r.dtype)
+        merged = merged.at[0::2].set(x)
+        merged = merged.at[1::2].set(x_odd)
+        x = merged
+    return x[:K0]
+
+
+def band_factor(sys: BandedSystem, s: int,
+                method: str = "scan") -> BandFactorization:
     A, B, K, pad_n = _superblock_tridiag(sys, s)
+    if method == "cr":
+        fac = cr_factor_tridiag(A, B)
+        return fac._replace(pad_n=pad_n, s=s)
     Ls, Cs = _tridiag_cholesky(A, B)
     return BandFactorization(Ls, Cs, K, pad_n, s)
 
 
-def band_apply_inverse(fac: BandFactorization, r):
+def band_apply_inverse(fac, r):
     """Hb^{-1} r for r [N, 3, m] (multi-RHS) or [N, 3] -> same shape."""
     squeeze = r.ndim == 2
     if squeeze:
         r = r[..., None]
     n = r.shape[0]
     m = r.shape[-1]
-    rk = jnp.pad(r, ((0, fac.K * fac.s - n), (0, 0), (0, 0)))
-    rk = rk.reshape(fac.K, fac.s * 3, m)
-    x = _tridiag_solve(fac.Ls, fac.Cs, rk)
-    x = x.reshape(fac.K * fac.s, 3, m)[:n]
+    K_blocks = -(-n // fac.s)
+    rk = jnp.pad(r, ((0, K_blocks * fac.s - n), (0, 0), (0, 0)))
+    rk = rk.reshape(K_blocks, fac.s * 3, m)
+    if isinstance(fac, CRFactorization):
+        x = cr_solve_tridiag(fac, rk)
+    else:
+        x = _tridiag_solve(fac.Ls, fac.Cs, rk)
+    x = x.reshape(K_blocks * fac.s, 3, m)[:n]
     return x[..., 0] if squeeze else x
 
 
 def solve_damped_banded(sys: BandedSystem, fixed, radius, params,
-                        superblock: int = 16):
+                        superblock: int = 16, method: str = "scan"):
     """Solve (H + D/radius) dx = -g in band(+border, +low-rank) form.
 
     Mirrors lm._solve_damped: LM-scaled damping on the clipped diagonal
@@ -286,7 +423,7 @@ def solve_damped_banded(sys: BandedSystem, fixed, radius, params,
     dsys = sysg._replace(diag=diag)
 
     s = max(superblock, sysg.w)
-    fac = band_factor(dsys, s)
+    fac = band_factor(dsys, s, method)
 
     if R:
         T = band_apply_inverse(fac, sysg.U.reshape(n, 3, R))  # Hb^-1 U

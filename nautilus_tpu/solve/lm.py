@@ -186,7 +186,7 @@ def _lm_step_jit(state, graph: FactorGraph, fixed_dof, params: LMParams,
 
 
 def _lm_body_banded(state, assemble_fn, cost_fn, fixed_dof, params: LMParams,
-                    superblock: int):
+                    superblock: int, method: str = "scan"):
     """One LM step on a block-banded system (solve/band.py): identical
     trust-region schedule to _lm_body, but the damped solve is a block
     tridiagonal Cholesky and H is never dense."""
@@ -194,7 +194,7 @@ def _lm_body_banded(state, assemble_fn, cost_fn, fixed_dof, params: LMParams,
 
     (x, sys, cost, radius, divisor, it, done) = state
     dx, dxl, sysg = solve_damped_banded(sys, fixed_dof, radius, params,
-                                        superblock)
+                                        superblock, method)
     step = dx if dxl is None else jnp.concatenate([dx, dxl], axis=0)
     x_new = x + step
     # Assemble at the trial point UNCONDITIONALLY and use ITS cost for the
@@ -226,7 +226,7 @@ def _lm_body_banded(state, assemble_fn, cost_fn, fixed_dof, params: LMParams,
 
 def lm_loop_banded(x0, assemble_fn, cost_fn, fixed_dof,
                    params: LMParams = LMParams(),
-                   superblock: int = 16) -> LMResult:
+                   superblock: int = 16, method: str = "scan") -> LMResult:
     """LM loop where assemble_fn(x) -> (BandedSystem, cost).  The loop
     carry holds the O(N w) band instead of the O(N^2) dense H — both
     faster (no dense materialization/copies per iteration) and the key
@@ -245,7 +245,7 @@ def lm_loop_banded(x0, assemble_fn, cost_fn, fixed_dof,
     state = jax.lax.while_loop(
         cond,
         lambda s: _lm_body_banded(s, assemble_fn, cost_fn, fixed_dof,
-                                  params, superblock),
+                                  params, superblock, method),
         state)
     (x, sys, cost, radius, divisor, it, done) = state
     return LMResult(x=x, cost=cost, initial_cost=cost0, iterations=it,
@@ -253,11 +253,12 @@ def lm_loop_banded(x0, assemble_fn, cost_fn, fixed_dof,
 
 
 @functools.partial(jax.jit, static_argnames=("params", "layout",
-                                             "superblock", "analytic"))
+                                             "superblock", "analytic",
+                                             "method"))
 def lm_solve_banded(x0, graph: FactorGraph, fixed_dof,
                     params: LMParams = LMParams(), layout=None,
                     superblock: int = 16, analytic: bool = True,
-                    lr=None) -> LMResult:
+                    lr=None, method: str = "scan") -> LMResult:
     """Run LM to convergence with the block-band linear solver.
 
     Requires the delta-major correspondence layout and every in-graph
@@ -273,7 +274,8 @@ def lm_solve_banded(x0, graph: FactorGraph, fixed_dof,
         assemble_fn=lambda x: assemble_banded_system(x, graph, layout,
                                                      analytic, lr),
         cost_fn=lambda x: total_cost(x, graph),
-        fixed_dof=fixed_dof, params=params, superblock=superblock)
+        fixed_dof=fixed_dof, params=params, superblock=superblock,
+        method=method)
 
 
 def lm_solve_stepped(x0, graph: FactorGraph, fixed_dof,

@@ -228,3 +228,44 @@ def test_sharded_band_refuses_out_of_band_factors():
                       odom, empty_hitl(x.dtype), solver._fixed_mask(),
                       jnp.asarray(0.25, x.dtype), 1, 3,
                       default_mesh(1), use_band=True)
+
+
+def test_cr_tridiag_matches_scan():
+    """Block cyclic reduction == the sequential scan factorization on
+    random SPD block-tridiagonal systems."""
+    import jax.numpy as jnp
+    from nautilus_tpu.solve.band import (cr_factor_tridiag,
+                                         cr_solve_tridiag,
+                                         _tridiag_cholesky, _tridiag_solve)
+    rng = np.random.RandomState(0)
+    for K0, S, m in [(1, 6, 2), (5, 9, 3), (16, 12, 4), (63, 6, 2)]:
+        A = np.zeros((K0, S, S), np.float32)
+        B = np.zeros((K0, S, S), np.float32)
+        for k in range(K0):
+            M = rng.randn(S, S)
+            A[k] = M @ M.T + S * np.eye(S)
+            if k:
+                B[k] = 0.3 * rng.randn(S, S)
+        r = rng.randn(K0, S, m).astype(np.float32)
+        Aj, Bj, rj = jnp.asarray(A), jnp.asarray(B), jnp.asarray(r)
+        Ls, Cs = _tridiag_cholesky(Aj, Bj)
+        x_scan = np.asarray(_tridiag_solve(Ls, Cs, rj))
+        x_cr = np.asarray(cr_solve_tridiag(cr_factor_tridiag(Aj, Bj), rj))
+        np.testing.assert_allclose(x_cr, x_scan, rtol=2e-4, atol=2e-5)
+
+
+def test_lm_band_cr_matches_scan():
+    """The full band LM with the cyclic-reduction backend lands on the
+    same map as the scan backend."""
+    solver, x, graph = _setup(n=12, seed=5)
+    layout = solver._layout
+    fixed = solver._fixed_mask()
+    params = LMParams()
+    r_scan = lm_solve_banded(x, graph, fixed, params=params, layout=layout,
+                             superblock=4, method="scan")
+    r_cr = lm_solve_banded(x, graph, fixed, params=params, layout=layout,
+                           superblock=4, method="cr")
+    np.testing.assert_allclose(float(r_cr.cost), float(r_scan.cost),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(r_cr.x), np.asarray(r_scan.x),
+                               rtol=5e-3, atol=5e-4)

@@ -99,8 +99,10 @@ def read_bag_native(path, lidar_topic: str,
                     odom_topic: str) -> Optional[List[BagMessage]]:
     """Parse with the native reader; None if unavailable or on parse error.
 
-    Returns messages in original bag stream order (merged by the per-message
-    order index the native layer records).
+    Returns messages in TIME order — record (receive) time, ties broken by
+    stream position — matching rosbag::View (reference main.cc:65-71) and
+    the Python reader, even for bags whose chunks are stored out of time
+    order (reindexed/appended bags).
     """
     lib = get_lib()
     if lib is None:
@@ -113,7 +115,7 @@ def read_bag_native(path, lidar_topic: str,
             raise ValueError(f"native bag parse failed: {err.decode()}")
         entries = []
         n_scans = lib.nt_bag_num_scans(handle)
-        meta = (ctypes.c_double * 8)()
+        meta = (ctypes.c_double * 9)()
         for i in range(n_scans):
             lib.nt_bag_scan_meta(handle, i, meta)
             k = int(meta[6])
@@ -128,12 +130,12 @@ def read_bag_native(path, lidar_topic: str,
                 time_increment=0.0, scan_time=0.0,
                 range_min=meta[4], range_max=meta[5],
                 ranges=ranges, intensities=np.zeros(0, np.float32))
-            entries.append((int(meta[7]),
+            entries.append((meta[8], int(meta[7]),
                             BagMessage(lidar_topic, LaserScanMsg.TYPE,
                                        meta[0], msg)))
         n_od = lib.nt_bag_num_odoms(handle)
         if n_od:
-            buf = np.empty((n_od, 8), np.float64)
+            buf = np.empty((n_od, 9), np.float64)
             lib.nt_bag_odoms(handle, buf.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_double)))
             for row in buf:
@@ -142,21 +144,21 @@ def read_bag_native(path, lidar_topic: str,
                     position=np.array([row[1], row[2], 0.0]),
                     orientation=row[3:7].copy(),
                     twist_linear=np.zeros(3), twist_angular=np.zeros(3))
-                entries.append((int(row[7]),
+                entries.append((row[8], int(row[7]),
                                 BagMessage(odom_topic, OdometryMsg.TYPE,
                                            row[0], msg)))
         n_cb = lib.nt_bag_num_cobots(handle)
         if n_cb:
-            buf = np.empty((n_cb, 5), np.float64)
+            buf = np.empty((n_cb, 6), np.float64)
             lib.nt_bag_cobots(handle, buf.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_double)))
             for row in buf:
                 msg = CobotOdometryMsg(header=HeaderMsg(0, row[0], "odom"),
                                        dr=row[1], dx=row[2], dy=row[3])
-                entries.append((int(row[4]),
+                entries.append((row[5], int(row[4]),
                                 BagMessage(odom_topic, CobotOdometryMsg.TYPE,
                                            row[0], msg)))
-        entries.sort(key=lambda e: e[0])
-        return [m for _, m in entries]
+        entries.sort(key=lambda e: (e[0], e[1]))
+        return [m for _, _, m in entries]
     finally:
         lib.nt_bag_free(handle)

@@ -4,8 +4,10 @@ Replaces the reference's rosbag::Bag/View dependency (src/main.cc:46-129)
 with a pure-Python sequential parser of the public bag v2.0 container
 format: length-prefixed records with field headers, chunks holding
 connection + message-data records, optional bz2 compression.  No index is
-required (records are scanned in stream order, which is bag order for the
-writer below and for standard rosbag-written files within a chunk).
+required: all message records are scanned (chunks decompressed), then
+sorted by record (receive) time across chunks before decoding — the
+rosbag::View iteration order the reference replays in (main.cc:65-71),
+correct even for reindexed/appended bags whose chunks are out of order.
 
 Only the three message types nautilus consumes are decoded
 (sensor_msgs/LaserScan, nav_msgs/Odometry, nautilus/CobotOdometryMsg —
@@ -228,13 +230,19 @@ class BagMessage:
 
 
 def read_bag(path, topics: Optional[List[str]] = None) -> Iterator[BagMessage]:
-    """Stream decoded messages in bag order; unknown types are skipped."""
+    """Decoded messages in TIME order (record/receive time, ties by stream
+    position — rosbag::View semantics); unknown types are skipped.
+
+    Two passes: scan every record (registering all connections and
+    decompressing chunks) collecting raw message payloads, sort by
+    (time, arrival), then decode lazily in sorted order."""
     buf = Path(path).read_bytes()
     if not buf.startswith(BAG_MAGIC):
         raise ValueError(f"{path} is not a ROS bag v2.0 file")
     connections: Dict[int, Tuple[str, str]] = {}
+    pending: List[Tuple[float, int, int, bytes]] = []
 
-    def handle(header: Dict[bytes, bytes], data: bytes):
+    def collect(header: Dict[bytes, bytes], data: bytes):
         op = header[b"op"][0]
         if op == OP_CONNECTION:
             conn = struct.unpack("<I", header[b"conn"])[0]
@@ -245,14 +253,7 @@ def read_bag(path, topics: Optional[List[str]] = None) -> Iterator[BagMessage]:
         elif op == OP_MSG_DATA:
             conn = struct.unpack("<I", header[b"conn"])[0]
             sec, nsec = struct.unpack("<II", header[b"time"])
-            topic, mtype = connections.get(conn, ("?", "?"))
-            if topics is not None and topic not in topics:
-                return None
-            decoder = _DECODERS.get(mtype)
-            if decoder is None:
-                return None
-            return BagMessage(topic, mtype, sec + nsec * 1e-9, decoder(data))
-        return None
+            pending.append((sec + nsec * 1e-9, len(pending), conn, data))
 
     for header, data in _iter_records(buf, len(BAG_MAGIC)):
         op = header[b"op"][0]
@@ -266,13 +267,19 @@ def read_bag(path, topics: Optional[List[str]] = None) -> Iterator[BagMessage]:
             elif compression != b"none":
                 raise ValueError(f"Unsupported chunk compression: {compression}")
             for ih, idata in _iter_records(data):
-                out = handle(ih, idata)
-                if out is not None:
-                    yield out
+                collect(ih, idata)
         else:
-            out = handle(header, data)
-            if out is not None:
-                yield out
+            collect(header, data)
+
+    pending.sort(key=lambda e: (e[0], e[1]))
+    for t, _, conn, data in pending:
+        topic, mtype = connections.get(conn, ("?", "?"))
+        if topics is not None and topic not in topics:
+            continue
+        decoder = _DECODERS.get(mtype)
+        if decoder is None:
+            continue
+        yield BagMessage(topic, mtype, t, decoder(data))
 
 
 # ---------------------------------------------------------------------------

@@ -213,13 +213,20 @@ def build_tables(cloud_b, mask_b, params: CSMParams = CSMParams()):
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def csm_match_to_tables(tables, cloud_a, mask_a,
-                        params: CSMParams = CSMParams()):
-    """Match one source cloud against prebuilt target tables."""
+                        params: CSMParams = CSMParams(),
+                        rotation_center=0.0):
+    """Match one source cloud against prebuilt target tables.
+
+    rotation_center seeds the +-rotation_restriction search window — the
+    reference's GetTransformation takes both scans' solution headings and
+    centers its rotation search on the solution-implied relative rotation
+    (solver.cc:634-638); pass angle_a - angle_b (wrapped) here.  A traced
+    scalar, so per-pair centers batch without recompiles."""
     n_valid = jnp.maximum(jnp.sum(mask_a.astype(jnp.float32)), 1.0)
     table_lo, tgt_points = tables
     rot_step_lo = params.low_res / params.scan_range
     n_rot = max(int(np.ceil(2 * params.rotation_restriction / rot_step_lo)), 1)
-    thetas_lo = (-params.rotation_restriction
+    thetas_lo = (rotation_center - params.rotation_restriction
                  + (jnp.arange(n_rot) + 0.5) * (2 * params.rotation_restriction
                                                 / n_rot))
     offset_lo = params.offset_cells(params.low_res)
@@ -267,27 +274,38 @@ def csm_match_to_tables(tables, cloud_a, mask_a,
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def csm_match(cloud_a, mask_a, cloud_b, mask_b,
-              params: CSMParams = CSMParams()) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              params: CSMParams = CSMParams(),
+              rotation_center=0.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Find the rigid transform aligning cloud_a onto cloud_b.
 
     Returns (score, [tx, ty, theta]): applying R(theta) then translation to
     cloud_a points best overlays them on cloud_b (both in sensor frames) —
-    the contract of the reference's GetTransformation.
+    the contract of the reference's GetTransformation
+    (solver.cc:634-638).  rotation_center seeds the rotation window with
+    the solution-implied relative heading angle_a - angle_b (the
+    reference's angle_a/angle_b arguments); theta in the result is
+    absolute, not center-relative.
     Score is mean log-occupancy per valid source point (higher = better).
     """
     return csm_match_to_tables(build_tables(cloud_b, mask_b, params),
-                               cloud_a, mask_a, params)
+                               cloud_a, mask_a, params, rotation_center)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def _match_many(tables, A, MA, params):
+def _match_many(tables, A, MA, params, centers):
     return jax.lax.map(
-        lambda am: csm_match_to_tables(tables, am[0], am[1], params),
-        (A, MA), batch_size=2)
+        lambda am: csm_match_to_tables(tables, am[0], am[1], params, am[2]),
+        (A, MA, centers), batch_size=2)
+
+
+def wrap_angle(a):
+    """Wrap to (-pi, pi] (host or device arrays)."""
+    return np.arctan2(np.sin(a), np.cos(a))
 
 
 def csm_match_pairs(points, masks, src_idx, tgt_idx,
-                    params: CSMParams = CSMParams()):
+                    params: CSMParams = CSMParams(),
+                    rotation_centers=None):
     """Arbitrary (source, target) pair list in ONE device dispatch.
 
     Pads the pair count to a power of two (repeating pair 0) so varying
@@ -295,19 +313,25 @@ def csm_match_pairs(points, masks, src_idx, tgt_idx,
     over csm_match_grouped on this runtime: table building is cheap since
     the fine stages went table-free, while each extra dispatch pays the
     relay's ~35+ ms latency floor.
+
+    rotation_centers: optional [Q] per-pair rotation-search centers
+    (solution-implied relative headings); defaults to zero.
     """
     src_idx = np.asarray(src_idx)
     tgt_idx = np.asarray(tgt_idx)
     q = len(src_idx)
     if q == 0:
         return np.zeros(0, np.float32), np.zeros((0, 3), np.float32)
+    if rotation_centers is None:
+        rotation_centers = np.zeros(q, np.float32)
+    rotation_centers = np.asarray(rotation_centers, np.float32)
     g = 1
     while g < q:
         g *= 2
     pad = np.concatenate([np.arange(q), np.zeros(g - q, np.int64)])
     s, tr = csm_match_batch(points[src_idx[pad]], masks[src_idx[pad]],
                             points[tgt_idx[pad]], masks[tgt_idx[pad]],
-                            params)
+                            params, rotation_centers=rotation_centers[pad])
     return np.asarray(s)[:q], np.asarray(tr)[:q]
 
 
@@ -334,7 +358,8 @@ def csm_match_grouped(points, masks, src_idx, tgt_idx,
         padded = np.concatenate([rows, np.full(g - len(rows), rows[0])])
         tables = build_tables(points[int(t)], masks[int(t)], params)
         s, tr = _match_many(tables, points[src_idx[padded]],
-                            masks[src_idx[padded]], params)
+                            masks[src_idx[padded]], params,
+                            jnp.zeros(len(padded), jnp.float32))
         scores[rows] = np.asarray(s)[:len(rows)]
         transforms[rows] = np.asarray(tr)[:len(rows)]
     return scores, transforms
@@ -383,14 +408,21 @@ def _refine_direct(src_points, src_mask, neighbors, thetas, res,
 
 @functools.partial(jax.jit, static_argnames=("params", "inner_batch"))
 def csm_match_batch(clouds_a, masks_a, clouds_b, masks_b,
-                    params: CSMParams = CSMParams(), inner_batch: int = 2):
+                    params: CSMParams = CSMParams(), inner_batch: int = 2,
+                    rotation_centers=None):
     """Batched matching over candidate pairs (loop-closure workload).
 
     One jitted program (single dispatch through the runtime) that maps over
     pairs with a small inner vmap width; inner_batch=2 measures fastest on
     v5e (wider vmaps blow up the coarse one-hot raster intermediates
     [B, R, P, cells] without adding MXU utilization).
+
+    rotation_centers: optional [B] per-pair rotation-search centers.
     """
+    if rotation_centers is None:
+        rotation_centers = jnp.zeros(clouds_a.shape[0], jnp.float32)
     return jax.lax.map(
-        lambda args: csm_match(*args, params=params),
-        (clouds_a, masks_a, clouds_b, masks_b), batch_size=inner_batch)
+        lambda args: csm_match(*args[:4], params=params,
+                               rotation_center=args[4]),
+        (clouds_a, masks_a, clouds_b, masks_b, rotation_centers),
+        batch_size=inner_batch)

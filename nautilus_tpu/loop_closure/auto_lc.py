@@ -26,7 +26,7 @@ from typing import List, Tuple
 import numpy as np
 
 from nautilus_tpu.kernels.csm import (CSMParams, csm_match_batch,
-                                      csm_match_pairs)
+                                      csm_match_pairs, wrap_angle)
 from nautilus_tpu.loop_closure.candidate import get_lc_candidates
 from nautilus_tpu.loop_closure.matcher import LCMatcher
 
@@ -116,8 +116,11 @@ def best_scan_match(state, source: int, scans, params: CSMParams = CSMParams()):
     msk = state.problem.points_mask
     ss = np.full(len(scans), source)
     tt = np.asarray(scans)
+    centers = np.asarray(
+        wrap_angle(state.solution[ss, 2] - state.solution[tt, 2]),
+        np.float32)
     scores, transforms = csm_match_batch(pts[ss], msk[ss], pts[tt], msk[tt],
-                                         params)
+                                         params, rotation_centers=centers)
     scores = np.asarray(scores)
     k = int(np.argmax(scores))
     return float(scores[k]), int(scans[k]), np.asarray(transforms[k])
@@ -177,10 +180,10 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     if len(candidates) < 2:
         return report
 
-    # Chi-square gating over candidate pairs (one Hessian for all).
-    x = solver._current_x()
-    graph = solver.build_graph(x, cfg.get_int("lidar_constraint_amount_max"))
-    matcher = LCMatcher(state, graph)
+    # Chi-square gating over candidate pairs (one Hessian for all; band
+    # covariance engine when the factor set is band-eligible, so gating
+    # scales past the dense-H memory wall).
+    matcher = LCMatcher.from_solver(solver)
     seen = set()
     for s in candidates:
         for t in matcher.get_possible_matches(s, candidates):
@@ -212,7 +215,13 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     msk = state.problem.points_mask
     ss = np.array([p[0] for p in report.gated_pairs])
     tt = np.array([p[1] for p in report.gated_pairs])
-    scores, transforms = csm_match_pairs(pts, msk, ss, tt, params)
+    # Seed each pair's rotation search with the solution-implied relative
+    # heading (the reference passes both scans' solution angles to
+    # GetTransformation, solver.cc:634-638): a reverse-traversal closure
+    # (relative heading ~ pi) is otherwise outside the +-90 deg window.
+    centers = wrap_angle(state.solution[ss, 2] - state.solution[tt, 2])
+    scores, transforms = csm_match_pairs(pts, msk, ss, tt, params,
+                                         rotation_centers=centers)
     scores = np.asarray(scores)
     transforms = np.asarray(transforms, np.float64)
     threshold = float(cfg.csm_score_threshold)

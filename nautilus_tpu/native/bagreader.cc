@@ -93,6 +93,7 @@ struct Scan {
   double angle_min, angle_max, angle_increment;
   double range_min, range_max;
   int64_t order;
+  double rtime;  // record (receive) time — rosbag::View's sort key
   std::vector<float> ranges;
 };
 
@@ -101,12 +102,14 @@ struct Odom {
   double px, py;
   double qx, qy, qz, qw;
   int64_t order;
+  double rtime;
 };
 
 struct Cobot {
   double stamp;
   double dr, dx, dy;
   int64_t order;
+  double rtime;
 };
 
 struct Reader {
@@ -188,10 +191,12 @@ double header_stamp(Reader& r) {
   return sec + nsec * 1e-9;
 }
 
-void decode_scan(const uint8_t* data, size_t n, int64_t order, Bag* bag) {
+void decode_scan(const uint8_t* data, size_t n, int64_t order, double rtime,
+                 Bag* bag) {
   Reader r{data, n};
   Scan s;
   s.order = order;
+  s.rtime = rtime;
   s.stamp = header_stamp(r);
   s.angle_min = r.f32();
   s.angle_max = r.f32();
@@ -206,10 +211,12 @@ void decode_scan(const uint8_t* data, size_t n, int64_t order, Bag* bag) {
   bag->scans.push_back(std::move(s));
 }
 
-void decode_odom(const uint8_t* data, size_t n, int64_t order, Bag* bag) {
+void decode_odom(const uint8_t* data, size_t n, int64_t order, double rtime,
+                 Bag* bag) {
   Reader r{data, n};
   Odom o;
   o.order = order;
+  o.rtime = rtime;
   o.stamp = header_stamp(r);
   r.str();  // child_frame_id
   o.px = r.f64();
@@ -222,10 +229,12 @@ void decode_odom(const uint8_t* data, size_t n, int64_t order, Bag* bag) {
   bag->odoms.push_back(o);
 }
 
-void decode_cobot(const uint8_t* data, size_t n, int64_t order, Bag* bag) {
+void decode_cobot(const uint8_t* data, size_t n, int64_t order, double rtime,
+                  Bag* bag) {
   Reader r{data, n};
   Cobot c;
   c.order = order;
+  c.rtime = rtime;
   c.stamp = header_stamp(r);
   c.dr = r.f32();
   c.dx = r.f32();
@@ -281,10 +290,20 @@ void handle_one(const HeaderFields& h, const uint8_t* data, size_t dlen,
     int64_t ord = (*order)++;
     if (c.type < 0) return;
     if (c.topic != lidar && c.topic != odom) return;
+    // Record (receive) time from the record header: the rosbag::View
+    // iteration key (reference main.cc:65-71 replays in this order).
+    double rtime = 0.0;
+    const std::string* time_s = h.get("time");
+    if (time_s && time_s->size() >= 8) {
+      uint32_t sec, nsec;
+      std::memcpy(&sec, time_s->data(), 4);
+      std::memcpy(&nsec, time_s->data() + 4, 4);
+      rtime = sec + nsec * 1e-9;
+    }
     switch (c.type) {
-      case 0: decode_scan(data, dlen, ord, bag); break;
-      case 1: decode_odom(data, dlen, ord, bag); break;
-      case 2: decode_cobot(data, dlen, ord, bag); break;
+      case 0: decode_scan(data, dlen, ord, rtime, bag); break;
+      case 1: decode_odom(data, dlen, ord, rtime, bag); break;
+      case 2: decode_cobot(data, dlen, ord, rtime, bag); break;
     }
   } else if (opc == 0x05) {  // chunk
     const std::string* comp = h.get("compression");
@@ -394,7 +413,7 @@ long nt_bag_num_odoms(void* h) { return static_cast<Bag*>(h)->odoms.size(); }
 long nt_bag_num_cobots(void* h) { return static_cast<Bag*>(h)->cobots.size(); }
 
 // meta: [stamp, angle_min, angle_max, angle_increment, range_min, range_max,
-//        nranges, order]
+//        nranges, order, rtime]
 void nt_bag_scan_meta(void* h, long i, double* meta) {
   const Scan& s = static_cast<Bag*>(h)->scans[i];
   meta[0] = s.stamp;
@@ -405,6 +424,7 @@ void nt_bag_scan_meta(void* h, long i, double* meta) {
   meta[5] = s.range_max;
   meta[6] = static_cast<double>(s.ranges.size());
   meta[7] = static_cast<double>(s.order);
+  meta[8] = s.rtime;
 }
 
 void nt_bag_scan_ranges(void* h, long i, float* out) {
@@ -412,26 +432,28 @@ void nt_bag_scan_ranges(void* h, long i, float* out) {
   std::memcpy(out, s.ranges.data(), 4 * s.ranges.size());
 }
 
-// out rows: [stamp, px, py, qx, qy, qz, qw, order]
+// out rows: [stamp, px, py, qx, qy, qz, qw, order, rtime]
 void nt_bag_odoms(void* h, double* out) {
   Bag* bag = static_cast<Bag*>(h);
   for (size_t i = 0; i < bag->odoms.size(); i++) {
     const Odom& o = bag->odoms[i];
-    double* r = out + 8 * i;
+    double* r = out + 9 * i;
     r[0] = o.stamp; r[1] = o.px; r[2] = o.py;
     r[3] = o.qx; r[4] = o.qy; r[5] = o.qz; r[6] = o.qw;
     r[7] = static_cast<double>(o.order);
+    r[8] = o.rtime;
   }
 }
 
-// out rows: [stamp, dr, dx, dy, order]
+// out rows: [stamp, dr, dx, dy, order, rtime]
 void nt_bag_cobots(void* h, double* out) {
   Bag* bag = static_cast<Bag*>(h);
   for (size_t i = 0; i < bag->cobots.size(); i++) {
     const Cobot& c = bag->cobots[i];
-    double* r = out + 5 * i;
+    double* r = out + 6 * i;
     r[0] = c.stamp; r[1] = c.dr; r[2] = c.dx; r[3] = c.dy;
     r[4] = static_cast<double>(c.order);
+    r[5] = c.rtime;
   }
 }
 

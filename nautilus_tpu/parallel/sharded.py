@@ -179,6 +179,15 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
             raise ValueError(
                 f"use_band=True requires all odometry factors within "
                 f"|i - j| <= {w_band}; found delta {int(deltas.max())}.")
+        # Caller-supplied pair lists are arbitrary (make_pairs output is
+        # in-band by construction, but the public signature accepts any
+        # src/tgt arrays) and an out-of-band correspondence block would
+        # be silently dropped by assemble_banded_scatter's scatter.
+        pd = np.abs(np.asarray(pair_src) - np.asarray(pair_tgt))
+        if pd.size and int(pd.max()) > w_band:
+            raise ValueError(
+                f"use_band=True requires all correspondence pairs within "
+                f"|src - tgt| <= {w_band}; found delta {int(pd.max())}.")
     q = pair_src.shape[0]
     pair_src_p = _pad_to_multiple(jnp.asarray(pair_src), num)
     pair_tgt_p = _pad_to_multiple(jnp.asarray(pair_tgt), num)
@@ -249,7 +258,7 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
                                 hitl=hitl_l)
             if use_band:
                 res = lm_loop_banded(x, assemble_psum_banded(graph),
-                                     cost_psum(graph), fixed, lm_params)
+                                     fixed, lm_params)
             else:
                 res = lm_loop(x, assemble_psum(graph), cost_psum(graph),
                               fixed, lm_params)

@@ -391,6 +391,70 @@ def band_apply_inverse(fac, r):
     return x[..., 0] if squeeze else x
 
 
+def _make_node_inverse(sysg: BandedSystem, fac):
+    """Closure computing (Hb + U U^T)^{-1} z for z [N, 3, m] or [N, 3]:
+    the band factorization plus (when the system carries a low-rank
+    loop-closure block U) the Woodbury correction."""
+    n, R = sysg.n, sysg.rank_lr
+    if not R:
+        return lambda z: band_apply_inverse(fac, z)
+    T = band_apply_inverse(fac, sysg.U.reshape(n, 3, R))      # Hb^-1 U
+    Tf = T.reshape(3 * n, R)
+    MW = jsl.cho_factor(
+        jnp.eye(R, dtype=Tf.dtype)
+        + jnp.matmul(sysg.U.T, Tf, precision=HIGHEST))
+
+    def node_inverse(z):
+        z1 = band_apply_inverse(fac, z)
+        flat = z1.reshape(3 * n, -1)
+        corr = jnp.matmul(Tf, jsl.cho_solve(
+            MW, jnp.matmul(sysg.U.T, flat, precision=HIGHEST)),
+            precision=HIGHEST)
+        return z1 - corr.reshape(z1.shape)
+
+    return node_inverse
+
+
+def band_inverse_node_columns(sys: BandedSystem, fixed, cols,
+                              reg: float = 1e-8, superblock: int = 16):
+    """Node-block columns of H^{-1}: returns [3N, m] = (H^{-1})[:3N, cols].
+
+    cols: [m] int32 node-dof indices (< 3N).  The covariance engine of
+    the loop-closure matcher (the ceres::Covariance role,
+    reference lc_matcher.cc:28-46) in O(N w) memory: gauge by ``fixed``
+    (unit rows/cols), Tikhonov-regularize like the dense path, factor the
+    band once, and apply the inverse to all requested unit columns in one
+    multi-RHS solve.  The HITL border enters via the block-inverse
+    identity (H^{-1})_nn = Hn^{-1} + Y S^{-1} Y^T with Y = Hn^{-1} C,
+    S = E - C^T Hn^{-1} C; long-range loop-closure factors via the
+    Woodbury term exactly as in solve_damped_banded.
+    """
+    sysg = _apply_gauge_band(sys, fixed)
+    n = sysg.n
+    # Tikhonov guard (matches matcher._gauged_cholesky's 1e-8 eye).
+    diag = sysg.diag + reg * jnp.eye(3, dtype=sysg.diag.dtype)
+    sysg = sysg._replace(diag=diag)
+    s = max(superblock, sysg.w)
+    fac = band_factor(sysg, s)
+    node_inverse = _make_node_inverse(sysg, fac)
+    m = cols.shape[0]
+    rhs = (jnp.arange(3 * n)[:, None] == cols[None, :]).astype(
+        sysg.diag.dtype).reshape(n, 3, m)
+    X = node_inverse(rhs)                                     # [N, 3, m]
+    L = sysg.num_lines
+    if L:
+        El = sysg.E + reg * jnp.eye(3, dtype=diag.dtype)
+        E_dense = jsl.block_diag(*[El[i] for i in range(L)])
+        C2 = sysg.C.transpose(0, 2, 1, 3).reshape(n, 3, 3 * L)
+        Y = node_inverse(C2)                                  # Hn^-1 C
+        CtY = jnp.einsum("nim,nik->mk", C2, Y, precision=HIGHEST)
+        S_schur = E_dense - CtY
+        CtX = jnp.einsum("nim,nik->mk", C2, X, precision=HIGHEST)  # [3L, m]
+        corr = jsl.cho_solve(jsl.cho_factor(S_schur), CtX)
+        X = X + jnp.einsum("nim,mk->nik", Y, corr, precision=HIGHEST)
+    return X.reshape(3 * n, m)
+
+
 def solve_damped_banded(sys: BandedSystem, fixed, radius, params,
                         superblock: int = 16, method: str = "scan"):
     """Solve (H + D/radius) dx = -g in band(+border, +low-rank) form.
@@ -424,25 +488,7 @@ def solve_damped_banded(sys: BandedSystem, fixed, radius, params,
 
     s = max(superblock, sysg.w)
     fac = band_factor(dsys, s, method)
-
-    if R:
-        T = band_apply_inverse(fac, sysg.U.reshape(n, 3, R))  # Hb^-1 U
-        Tf = T.reshape(3 * n, R)
-        MW = jsl.cho_factor(
-            jnp.eye(R, dtype=Tf.dtype)
-            + jnp.matmul(sysg.U.T, Tf, precision=HIGHEST))
-
-        def node_inverse(z):
-            """(Hb + U U^T)^{-1} z for z [N, 3, m] or [N, 3]."""
-            z1 = band_apply_inverse(fac, z)
-            flat = z1.reshape(3 * n, -1)
-            corr = jnp.matmul(Tf, jsl.cho_solve(
-                MW, jnp.matmul(sysg.U.T, flat, precision=HIGHEST)),
-                precision=HIGHEST)
-            return z1 - corr.reshape(z1.shape)
-    else:
-        def node_inverse(z):
-            return band_apply_inverse(fac, z)
+    node_inverse = _make_node_inverse(dsys._replace(U=sysg.U), fac)
 
     L = sysg.num_lines
     if not L:

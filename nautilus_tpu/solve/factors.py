@@ -356,9 +356,9 @@ def graph_factor_specs(graph: FactorGraph):
         + [hitl_factor_spec(graph)]
 
 
-def _graph_factor_terms(x, graph: FactorGraph):
+def _graph_factor_terms(x, graph: FactorGraph, analytic: bool = True):
     """Linearize every factor type; yields (r, J, dof) triples."""
-    terms = [linearize_two_pose(x, a, b, fn, data)
+    terms = [linearize_two_pose(x, a, b, fn, data, analytic)
              for (a, b, fn, data) in graph_factor_specs(graph)]
     return [t for t in terms if t is not None]
 
@@ -376,7 +376,8 @@ def _accumulate_two_pose(H, g, term):
 
 
 def assemble_normal_equations(x, graph: FactorGraph,
-                              layout: "BandLayout" = None):
+                              layout: "BandLayout" = None,
+                              analytic: bool = True):
     """Build dense Gauss-Newton normal equations.
 
     Returns (H [3M, 3M], g [3M], cost scalar).  This is the TPU-native
@@ -401,7 +402,7 @@ def assemble_normal_equations(x, graph: FactorGraph,
     g = jnp.zeros((n_dof,), x.dtype)
     cost = jnp.zeros((), x.dtype)
     if layout is None or layout.w < 1:
-        for term in _graph_factor_terms(x, graph):
+        for term in _graph_factor_terms(x, graph, analytic):
             H, g = _accumulate_two_pose(H, g, term)
             cost = cost + 0.5 * jnp.sum(term[0] * term[0])
         return H, g, cost
@@ -409,14 +410,14 @@ def assemble_normal_equations(x, graph: FactorGraph,
     # Irregular factors (odometry, HITL lines): generic scatter.
     for (a, b, fn, data) in (odom_factor_spec(graph),
                              hitl_factor_spec(graph)):
-        term = linearize_two_pose(x, a, b, fn, data)
+        term = linearize_two_pose(x, a, b, fn, data, analytic)
         if term is not None:
             H, g = _accumulate_two_pose(H, g, term)
             cost = cost + 0.5 * jnp.sum(term[0] * term[0])
 
     # Correspondence factors: banded accumulation.
     corr_terms = [t for t in (
-        linearize_two_pose(x, a, b, fn, data)
+        linearize_two_pose(x, a, b, fn, data, analytic)
         for (a, b, fn, data) in corr_factor_specs(graph)) if t is not None]
     if corr_terms:
         diag, band, gd, cost_c = _accumulate_banded(x, corr_terms, layout)

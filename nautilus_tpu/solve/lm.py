@@ -185,7 +185,7 @@ def _lm_step_jit(state, graph: FactorGraph, fixed_dof, params: LMParams,
                     lambda x: total_cost(x, graph), fixed_dof, params)
 
 
-def _lm_body_banded(state, assemble_fn, cost_fn, fixed_dof, params: LMParams,
+def _lm_body_banded(state, assemble_fn, fixed_dof, params: LMParams,
                     superblock: int, method: str = "scan"):
     """One LM step on a block-banded system (solve/band.py): identical
     trust-region schedule to _lm_body, but the damped solve is a block
@@ -224,13 +224,17 @@ def _lm_body_banded(state, assemble_fn, cost_fn, fixed_dof, params: LMParams,
     return (x2, sys2, cost2, radius_new, divisor_new, it + 1, converged)
 
 
-def lm_loop_banded(x0, assemble_fn, cost_fn, fixed_dof,
+def lm_loop_banded(x0, assemble_fn, fixed_dof,
                    params: LMParams = LMParams(),
                    superblock: int = 16, method: str = "scan") -> LMResult:
     """LM loop where assemble_fn(x) -> (BandedSystem, cost).  The loop
     carry holds the O(N w) band instead of the O(N^2) dense H — both
     faster (no dense materialization/copies per iteration) and the key
-    to solving pose graphs far beyond the dense memory wall."""
+    to solving pose graphs far beyond the dense memory wall.
+
+    No cost_fn: the accept decision reuses the cost returned by
+    assembling at the trial point (see _lm_body_banded), so a separate
+    cost-only evaluation would be dead work."""
     sys0, cost0 = assemble_fn(x0)
     state = (x0, sys0, cost0,
              jnp.asarray(params.initial_radius, x0.dtype),
@@ -244,7 +248,7 @@ def lm_loop_banded(x0, assemble_fn, cost_fn, fixed_dof,
 
     state = jax.lax.while_loop(
         cond,
-        lambda s: _lm_body_banded(s, assemble_fn, cost_fn, fixed_dof,
+        lambda s: _lm_body_banded(s, assemble_fn, fixed_dof,
                                   params, superblock, method),
         state)
     (x, sys, cost, radius, divisor, it, done) = state
@@ -273,7 +277,6 @@ def lm_solve_banded(x0, graph: FactorGraph, fixed_dof,
         x0,
         assemble_fn=lambda x: assemble_banded_system(x, graph, layout,
                                                      analytic, lr),
-        cost_fn=lambda x: total_cost(x, graph),
         fixed_dof=fixed_dof, params=params, superblock=superblock,
         method=method)
 

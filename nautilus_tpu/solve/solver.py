@@ -253,10 +253,17 @@ class Solver:
         """
         # Hold the factor tuple itself in the cache entry: identity compare
         # is then safe (the held reference prevents id reuse after gc).
+        # LC factors are keyed by CONTENT (they are few and small): an
+        # in-place replacement that keeps the count would otherwise serve
+        # stale device factors.
+        lc_key = tuple(
+            (int(f[0]), int(f[1]), float(f[2][0]), float(f[2][1]),
+             float(f[3]), float(f[4]), float(f[5]))
+            for f in self.state.lc_factors)
         cached = getattr(self, "_odom_cache", None)
         if (cached is not None
                 and cached[0] is self.state.odometry_factors
-                and cached[1] == len(self.state.lc_factors)
+                and cached[1] == lc_key
                 and cached[2] == exclude_long_range):
             return cached[3]
         cfg = self.config
@@ -277,8 +284,7 @@ class Solver:
                 wt=jnp.pad(odom.wt, (0, pad)),
                 wr=jnp.pad(odom.wr, (0, pad)))
         self._odom_cache = (self.state.odometry_factors,
-                            len(self.state.lc_factors), exclude_long_range,
-                            odom)
+                            lc_key, exclude_long_range, odom)
         return odom
 
     def _long_range_factors(self):
@@ -582,13 +588,15 @@ def _fused_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed, outlier,
                 assemble_fn=lambda xx: assemble_banded_system(xx, graph,
                                                               layout,
                                                               analytic, lr),
-                cost_fn=lambda xx: total_cost(xx, graph),
                 fixed_dof=fixed, params=lm_params)
         else:
+            # analytic threads into the dense branch too: closed-form
+            # Jacobians inside a fused graph past the validated scale kill
+            # the relay's TPU worker regardless of band/dense assembly.
             res = lm_loop(
                 x,
-                assemble_fn=lambda xx: assemble_normal_equations(xx, graph,
-                                                                 layout),
+                assemble_fn=lambda xx: assemble_normal_equations(
+                    xx, graph, layout, analytic),
                 cost_fn=lambda xx: total_cost(xx, graph),
                 fixed_dof=fixed, params=lm_params)
         return (res.x,

@@ -212,6 +212,80 @@ def test_band_woodbury_matches_dense_with_lc():
                                rtol=1e-3)
 
 
+def test_band_hitl_plus_woodbury_matches_dense():
+    """HITL Schur border AND Woodbury low-rank term simultaneously: the
+    node_inverse-with-correction path inside the bordered solve (the
+    default band path once a session has both a human constraint and an
+    applied loop closure) must equal the dense solve."""
+    solver, x, graph = _setup(n=12, with_hitl=True)
+    state = solver.state
+    # One long-range closure (delta > w_max=3) -> Woodbury U columns.
+    rel = state.solution[10] - state.solution[1]
+    state.lc_factors.append((1, 10, rel[:2].copy(), float(rel[2]), 3.0, 2.0))
+    fixed = solver._fixed_mask()
+    params = LMParams()
+    # Dense: LC factor folded into the odometry batch.
+    graph_dense = solver.build_graph(x, window=3, exclude_long_range=False)
+    # Band: LC factor via the low-rank term.
+    graph_band = solver.build_graph(x, window=3, exclude_long_range=True)
+    lr = solver._long_range_factors()
+    assert lr is not None and solver.state.hitl_constraints
+    layout = solver._layout
+    H, g, c_dense = assemble_normal_equations(x, graph_dense, layout)
+    sysb, c_band = assemble_banded_system(x, graph_band, layout, True, lr)
+    np.testing.assert_allclose(float(c_band), float(c_dense), rtol=1e-6)
+    for radius in (1e4, 1.0):
+        r = jnp.asarray(radius, x.dtype)
+        dx_dense, _, _ = _solve_damped(H, g, fixed, r, params)
+        dx, dxl, _ = solve_damped_banded(sysb, fixed, r, params,
+                                         superblock=4)
+        assert dxl is not None
+        flat = np.concatenate([np.asarray(dx).reshape(-1),
+                               np.asarray(dxl).reshape(-1)])
+        np.testing.assert_allclose(flat, np.asarray(dx_dense),
+                                   rtol=1e-3, atol=1e-5)
+    # Full LM parity on the combined system.
+    r_dense = lm_solve(x, graph_dense, fixed, params=params, layout=layout)
+    r_band = lm_solve_banded(x, graph_band, fixed, params=params,
+                             layout=layout, superblock=4, lr=lr)
+    np.testing.assert_allclose(float(r_band.cost), float(r_dense.cost),
+                               rtol=1e-3)
+
+
+def test_sharded_band_refuses_out_of_band_pairs():
+    """Caller-supplied correspondence pairs beyond the band must be
+    rejected (assemble_banded_scatter would silently drop them)."""
+    from nautilus_tpu.parallel.sharded import sharded_sweep, default_mesh
+    from nautilus_tpu.solve.factors import empty_hitl
+    state, _ = make_problem(num_nodes=8, world_kind="room", num_beams=180,
+                            seed=9)
+    cfg = load_config_text(DEFAULTS)
+    solver = Solver(state, cfg)
+    x = solver._current_x()
+    odom = solver._odom_factors()
+    bad_src = jnp.concatenate([solver._pair_src, jnp.asarray([7])])
+    bad_tgt = jnp.concatenate([solver._pair_tgt, jnp.asarray([0])])
+    with pytest.raises(ValueError, match="pairs"):
+        sharded_sweep(x, state.problem, bad_src, bad_tgt,
+                      odom, empty_hitl(x.dtype), solver._fixed_mask(),
+                      jnp.asarray(0.25, x.dtype), 1, 3,
+                      default_mesh(1), use_band=True)
+
+
+def test_odom_cache_keyed_on_lc_contents():
+    """Replacing an LC factor in place (same count) must refresh the
+    cached device factors."""
+    state, _ = make_problem(num_nodes=8, world_kind="room", num_beams=180,
+                            seed=9)
+    cfg = load_config_text(DEFAULTS)
+    solver = Solver(state, cfg)
+    state.lc_factors.append((0, 2, np.array([1.0, 0.0]), 0.1, 2.0, 2.0))
+    od1 = solver._odom_factors()
+    state.lc_factors[0] = (0, 2, np.array([-1.0, 0.5]), -0.1, 2.0, 2.0)
+    od2 = solver._odom_factors()
+    assert not np.allclose(np.asarray(od1.trans), np.asarray(od2.trans))
+
+
 def test_sharded_band_refuses_out_of_band_factors():
     from nautilus_tpu.solve.factors import make_odom_factors
     # Factor (7, 0) has delta 7 > w_band=3 -> must be rejected.

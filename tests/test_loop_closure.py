@@ -68,6 +68,37 @@ class TestCSM:
         # Identity pair should score at least as well as any candidate.
         assert np.isfinite(float(score))
 
+    @pytest.mark.parametrize("true_th", [np.pi * 0.97, -np.pi * 0.9, 2.0])
+    def test_rotation_center_seeds_search(self, true_th):
+        """A relative rotation outside the default +-90 deg window is
+        recovered when the search is seeded with the solution-implied
+        heading (the reference's GetTransformation angle_a/angle_b
+        contract, solver.cc:634-638) — the reverse-traversal case."""
+        world = make_world("office")
+        true_t = np.array([0.4, -0.3, true_th])
+        pose_b = np.array([1.0, 2.0, 0.3])
+        pose_a = _offset_pose(pose_b, true_t)
+        cl_b = scan_to_points(raycast(world, pose_b, 720, max_range=10),
+                              max_range=10)
+        cl_a = scan_to_points(raycast(world, pose_a, 720, max_range=10),
+                              max_range=10)
+        a, ma = _pad(cl_a)
+        b, mb = _pad(cl_b)
+        params = CSMParams(scan_range=10.0)
+        # Seed near (not exactly at) the true rotation, as the noisy
+        # solution would.
+        center = jnp.asarray(true_th + 0.15, jnp.float32)
+        score, tr = csm_match(a, ma, b, mb, params, rotation_center=center)
+        tr = np.asarray(tr)
+        assert np.linalg.norm(tr[:2] - true_t[:2]) < 0.12, tr
+        d_th = np.arctan2(np.sin(tr[2] - true_th), np.cos(tr[2] - true_th))
+        assert abs(d_th) < 0.05, tr
+        # Unseeded search (center 0) cannot represent a ~pi rotation: the
+        # seeded score must strictly dominate.
+        s0, tr0 = csm_match(a, ma, b, mb, params)
+        if abs(true_th) > params.rotation_restriction + 0.1:
+            assert float(score) > float(s0)
+
     def test_score_ranking(self):
         """A matching pair scores higher than an unrelated pair."""
         world = make_world("office")
@@ -186,6 +217,54 @@ class TestMatcher:
         assert none == []
 
 
+class TestMatcherBandCovariance:
+    def _solved(self, n=14, with_lc=True, with_hitl=False):
+        state, _ = make_problem(num_nodes=n, world_kind="room",
+                                num_beams=360, seed=4,
+                                odom_noise_trans=0.02, odom_noise_rot=0.008)
+        cfg = load_config_text(CFG)
+        if with_hitl:
+            from nautilus_tpu.solve.hitl import HitlConstraint
+            pts = np.asarray(state.problem.points, np.float64)
+            state.hitl_constraints.append(HitlConstraint(
+                line_a=(np.array([0.0, -0.5]), np.array([3.0, -0.5])),
+                line_b=(np.array([0.0, -0.45]), np.array([3.0, -0.45])),
+                line_a_poses=[(1, pts[1][:12]), (4, pts[4][:9])],
+                line_b_poses=[(6, pts[6][:7])],
+                line_pose_index=0))
+            state.line_poses = np.zeros((1, 3))
+        solver = Solver(state, cfg)
+        solver.solve_slam()
+        if with_lc:
+            rel = state.solution[n - 2] - state.solution[1]
+            state.lc_factors.append((1, n - 2, rel[:2].copy(),
+                                     float(rel[2]), 2.0, 2.0))
+        return solver, state
+
+    @pytest.mark.parametrize("with_hitl", [False, True])
+    def test_band_covariance_matches_dense(self, with_hitl):
+        """The O(N w) band covariance engine equals the dense Cholesky
+        path — including an applied long-range closure (Woodbury term)
+        and an HITL border (Schur block inverse)."""
+        solver, state = self._solved(with_hitl=with_hitl)
+        m_band = LCMatcher.from_solver(solver)
+        assert m_band._sys is not None, "expected the band engine"
+        x = solver._current_x()
+        graph_dense = solver.build_graph(x, 3, exclude_long_range=False)
+        m_dense = LCMatcher(state, graph_dense)
+        for (s, t) in [(2, 5), (3, 11), (6, 12), (2, 12)]:
+            cov_b, sc_b = m_band.chi_square_score(s, t)
+            cov_d, sc_d = m_dense.chi_square_score(s, t)
+            np.testing.assert_allclose(cov_b, cov_d, rtol=2e-3,
+                                       atol=1e-7, err_msg=f"pair {(s, t)}")
+            if np.isfinite(sc_d) and sc_d > 1e-6:
+                assert abs(sc_b - sc_d) / sc_d < 5e-2, (s, t, sc_b, sc_d)
+        # Gating decisions agree.
+        cands = [2, 5, 11, 12]
+        assert (m_band.get_possible_matches(3, cands)
+                == m_dense.get_possible_matches(3, cands))
+
+
 class TestAutoLC:
     def test_relative_pose_factor_consistency(self):
         state, _ = make_problem(num_nodes=6, world_kind="room", num_beams=360)
@@ -215,6 +294,97 @@ class TestAutoLC:
         if report.accepted:
             assert report.applied
             assert len(state.lc_factors) == len(report.accepted)
+
+
+def _reverse_traversal_state(seed=3):
+    """A path re-traversed in the OPPOSITE direction: lead-in leg (so the
+    un-gateable node 0 — the reference re-gauges at min(s,t)-1,
+    lc_matcher.cc:38 — is away from the loop), forward pass at heading 0,
+    return pass at heading pi, slightly offset in y.  Built like
+    ingest.synthetic.synthesize but with a custom world + trajectory whose
+    candidate chain (5 m spacing on solution positions) puts a co-located
+    cross-pass pair mid-trajectory."""
+    import jax.numpy as jnp
+    from nautilus_tpu.core.preprocess import preprocess
+    from nautilus_tpu.core.problem import (build_problem, pad_clouds,
+                                           RawNodes, SLAMState)
+
+    rng = np.random.default_rng(seed)
+    half, span = 6.0, 4.5
+    segs = []
+    segs.extend([[[-half, -half], [half, -half]],
+                 [[half, -half], [half, half]],
+                 [[half, half], [-half, half]],
+                 [[-half, half], [-half, -half]],
+                 # Interior stubs: break the box's 180-degree symmetry so
+                 # the reverse match is uniquely determined.
+                 [[-3, -half], [-3, -half + 2]], [[2, half - 2], [2, half]],
+                 [[-half, 4], [-half + 2, 4]], [[4, -4], [half, -4]]])
+    world = np.asarray(segs, np.float64)
+    ys0 = np.linspace(half - 1.5, 0.3, 6)
+    xs_f = np.linspace(-span, span, 13)
+    xs_r = np.linspace(span, -span, 13)
+    gt = np.concatenate([
+        np.stack([np.full(6, -span), ys0, np.full(6, -np.pi / 2)], axis=-1),
+        np.stack([xs_f, np.full(13, -0.2), np.zeros(13)], axis=-1),
+        np.stack([xs_r, np.full(13, 0.2), np.full(13, np.pi)], axis=-1)])
+    num_nodes = len(gt)
+    clouds = [scan_to_points(raycast(world, gt[i], 720, max_range=10),
+                             max_range=10).astype(np.float32)
+              for i in range(num_nodes)]
+    d_trans = gt[1:, :2] - gt[:-1, :2]
+    d_rot = np.arctan2(np.sin(gt[1:, 2] - gt[:-1, 2]),
+                       np.cos(gt[1:, 2] - gt[:-1, 2]))
+    d_trans = d_trans + rng.normal(scale=0.02, size=d_trans.shape)
+    d_rot = d_rot + rng.normal(scale=0.008, size=d_rot.shape)
+    init = np.zeros_like(gt)
+    init[0] = gt[0]
+    init[1:, :2] = gt[0, :2] + np.cumsum(d_trans, axis=0)
+    init[1:, 2] = gt[0, 2] + np.cumsum(d_rot)
+    points, mask = pad_clouds(clouds, pad_multiple=128)
+    raw = RawNodes(
+        points=points, points_mask=mask, initial_poses=init,
+        timestamps=np.arange(num_nodes, dtype=np.float64) * 0.5 + 1e9,
+        odom_i=np.arange(num_nodes - 1, dtype=np.int64),
+        odom_j=np.arange(1, num_nodes, dtype=np.int64),
+        odom_trans=d_trans, odom_rot=d_rot)
+    normals, pidx, pmask, eidx, emask, _ = preprocess(
+        raw.points, raw.points_mask, as_numpy=False)
+    problem = build_problem(raw, normals, pidx, pmask, eidx, emask,
+                            dtype=jnp.float32)
+    return SLAMState.from_problem(problem, timestamps=raw.timestamps), gt
+
+
+class TestReverseTraversalLC:
+    def test_reverse_traversal_closes(self):
+        """Full solve_auto_lc path on an opposite-direction re-traversal:
+        the gated pairs include a relative heading ~ pi, the angle-seeded
+        CSM accepts it, and the applied factor pulls the return pass back
+        onto the corridor (the case VERDICT r2 flagged as unreachable with
+        a zero-centered rotation window)."""
+        state, gt = _reverse_traversal_state()
+        cfg = load_config_text(CFG).replace(csm_score_threshold=-3.5)
+        solver = Solver(state, cfg)
+        solver.solve_slam()
+        report = solve_auto_lc(solver, apply=True, verbose=False,
+                               csm_params=CSMParams(scan_range=10.0,
+                                                    high_res=0.05))
+        # At least one accepted pair spans the two passes: forward nodes
+        # are 6..18 (heading 0), return nodes 19..31 (heading pi).
+        cross = [(s, t) for s, t in report.accepted
+                 if (s <= 18) != (t <= 18)]
+        assert cross, (report.gated_pairs, report.csm_results)
+        for s, t, score, tr in report.csm_results:
+            if (s, t) in cross or (t, s) in cross:
+                # The accepted transform carries the ~pi relative rotation
+                # — unreachable for a zero-centered +-pi/2 window.
+                assert abs(abs(float(tr[2])) - np.pi) < 0.35, (s, t, tr)
+                # Overlapping reverse pair scores FAR above disjoint pairs.
+                assert score > -3.5
+        assert report.applied
+        # The re-solved map stays tight (the closure must not corrupt it).
+        err = np.abs(state.solution[:, :2] - gt[:, :2]).mean()
+        assert err < 0.3, err
 
 
 class TestBestScanMatch:

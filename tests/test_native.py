@@ -78,6 +78,39 @@ def test_compressed_chunk_parity(tmp_path, compression):
     np.testing.assert_allclose(nat[1].msg.position, py[1].msg.position)
 
 
+def test_shuffled_chunks_time_order(tmp_path):
+    """Chunks stored out of time order (reindexed/appended-bag layout —
+    NOT producible by the in-repo writer): both readers must iterate in
+    record-time order, matching rosbag::View (reference main.cc:65-71)."""
+    import sys
+    from pathlib import Path
+    fixtures = Path(__file__).resolve().parent / "fixtures"
+    sys.path.insert(0, str(fixtures))
+    try:
+        from gen_shuffled_bag import write_shuffled_bag
+    finally:
+        sys.path.pop(0)
+    path = tmp_path / "shuffled.bag"
+    expected = write_shuffled_bag(path)
+    # The freshly-generated bag must equal the checked-in fixture (the
+    # committed artifact is what CI actually parses below).
+    committed = fixtures / "shuffled_chunks.bag"
+    assert committed.read_bytes() == path.read_bytes()
+
+    for msgs in (list(rb.read_bag(committed, topics=["/scan", "/odom"])),
+                 read_bag_native(committed, "/scan", "/odom")):
+        got = [(m.topic, round(m.time, 6)) for m in msgs]
+        assert got == [(t, round(tt, 6)) for t, tt in expected]
+        times = [m.time for m in msgs]
+        assert times == sorted(times)
+        # Message contents ride along correctly after the sort.
+        for m in msgs:
+            if isinstance(m.msg, rb.OdometryMsg):
+                assert m.msg.position[0] == pytest.approx(m.time, abs=1e-6)
+            else:
+                np.testing.assert_allclose(m.msg.ranges, m.time, atol=1e-6)
+
+
 def test_bad_file_raises(tmp_path):
     p = tmp_path / "bad.bag"
     p.write_bytes(b"garbage")

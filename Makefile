@@ -1,7 +1,7 @@
 # Developer conveniences (the reference wraps catkin/cmake; here: pytest,
 # bench, and the native library build).
 
-.PHONY: all test bench bench-quick native clean
+.PHONY: all test test-tpu bench bench-quick native clean
 
 all: native
 
@@ -11,6 +11,10 @@ native:
 
 test:
 	python -m pytest tests/ -q
+
+# On-device parity lane (tests/test_tpu_parity.py): needs a real TPU.
+test-tpu:
+	NAUTILUS_TPU_TESTS=1 python -m pytest tests -m tpu -q
 
 bench:
 	python bench.py

@@ -15,6 +15,7 @@ and reported (north-star: <=1% delta, >=20x speedup).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -30,6 +31,9 @@ def main():
     ap.add_argument("--skip-cpu", action="store_true")
     ap.add_argument("--skip-cpu-hitl", action="store_true",
                     help="skip the (slow) CPU-twin HITL double solve")
+    ap.add_argument("--cpu-csm-pairs", type=int, default=4,
+                    help="pairs for the CPU scan-match baseline (slow: "
+                         "~seconds per pair at reference params)")
     args = ap.parse_args()
     if args.quick:
         args.nodes = 150
@@ -84,6 +88,64 @@ def main():
 
     scan_match_pairs_per_s = time_csm(CSMParams())          # reference cfg
     scan_match_pairs_per_s_12m = time_csm(CSMParams(scan_range=12.0))
+
+    # --- CPU scan-match baseline (same algorithm, numpy/BLAS — parity
+    # tested in tests/test_cpu_csm.py) on a few pairs, extrapolated.
+    if args.skip_cpu or args.cpu_csm_pairs <= 0:
+        cpu_pairs_per_s = float("nan")
+    else:
+        from nautilus_tpu.baseline.cpu_csm import csm_match_batch_cpu
+        nb = min(args.cpu_csm_pairs, n_pairs)
+        pts_np = np.asarray(pts)
+        msk_np = np.asarray(msk)
+        t0 = time.perf_counter()
+        csm_match_batch_cpu(pts_np[ss[:nb]], msk_np[ss[:nb]],
+                            pts_np[tt[:nb]], msk_np[tt[:nb]], CSMParams())
+        cpu_pairs_per_s = nb / (time.perf_counter() - t0)
+
+    # --- Device utilization (MFU).  XLA's compiled cost analysis counts
+    # while/fori bodies ONCE, so flops(program) ~ one LM iteration (plus
+    # init assembly) / one CSM pair; scale by measured iteration/pair
+    # counts and divide by the bf16 MXU peak.  Approximate by design —
+    # reported to show what fraction of the chip the workloads use.
+    peak_flops = float(os.environ.get("NAUTILUS_PEAK_TFLOPS", "197")) * 1e12
+
+    def _flops(lowered):
+        try:
+            ca = lowered.compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            return float(ca.get("flops", float("nan")))
+        except Exception:
+            return float("nan")
+
+    from nautilus_tpu.kernels.csm import csm_match
+    csm_pair_flops = _flops(csm_match.lower(
+        pts[0], msk[0], pts[1], msk[1], CSMParams()))
+    csm_mfu_pct = (100.0 * csm_pair_flops * scan_match_pairs_per_s
+                   / peak_flops)
+
+    solve_iters = sum(w.iterations for w in stats.windows)
+    try:
+        from nautilus_tpu.solve.lm import lm_solve_banded, lm_solve
+        x = solver._current_x()
+        fixed = solver._fixed_mask()
+        kind = solver._resolve_solver()
+        w_max = cfg.get_int("lidar_constraint_amount_max")
+        graph = solver.build_graph(x, w_max,
+                                   exclude_long_range=kind == "band")
+        if kind == "band":
+            lowered = lm_solve_banded.lower(
+                x, graph, fixed, params=solver.lm_params,
+                layout=solver._layout, lr=solver._long_range_factors())
+        else:
+            lowered = lm_solve.lower(x, graph, fixed,
+                                     params=solver.lm_params,
+                                     layout=solver._layout)
+        solve_iter_flops = _flops(lowered)
+    except Exception:
+        solve_iter_flops = float("nan")
+    solve_mfu_pct = (100.0 * solve_iter_flops * solve_iters
+                     / tpu_wall / peak_flops)
 
     # --- HITL curation step (the headline gdc workload): one scripted
     # colinearity constraint -> selection + densified odometry + 2 solves.
@@ -162,6 +224,17 @@ def main():
         "cost_parity_pct": round(parity_pct, 3) if parity_pct == parity_pct else None,
         "scan_match_pairs_per_s": round(scan_match_pairs_per_s, 1),
         "scan_match_pairs_per_s_12m": round(scan_match_pairs_per_s_12m, 1),
+        "scan_match_cpu_pairs_per_s": (round(cpu_pairs_per_s, 2)
+                                       if cpu_pairs_per_s == cpu_pairs_per_s
+                                       else None),
+        "scan_match_speedup_vs_cpu": (
+            round(scan_match_pairs_per_s / cpu_pairs_per_s, 1)
+            if cpu_pairs_per_s == cpu_pairs_per_s else None),
+        "solve_mfu_pct": (round(solve_mfu_pct, 2)
+                          if solve_mfu_pct == solve_mfu_pct else None),
+        "csm_mfu_pct": (round(csm_mfu_pct, 2)
+                        if csm_mfu_pct == csm_mfu_pct else None),
+        "peak_tflops_assumed": peak_flops / 1e12,
         "hitl_callback_s": round(hitl_wall, 2),
         "hitl_cold_s": round(hitl_cold_wall, 2),
         "tpu_cold_wall_s": round(tpu_cold_wall, 2),

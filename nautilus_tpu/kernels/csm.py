@@ -43,6 +43,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+HIGHEST = jax.lax.Precision.HIGHEST
+
 
 class CSMParams(NamedTuple):
     """Defaults mirror the reference ctor (solver.cc:56)."""
@@ -404,6 +406,162 @@ def _refine_direct(src_points, src_mask, neighbors, thetas, res,
     vals = jnp.log(jnp.clip(occ, 0.0, 1.0) + 1e-6)
     vals = jnp.where(src_mask[None, None, None, :], vals, 0.0)
     return jnp.sum(vals, axis=-1), (ty, tx)                      # [R, W, W]
+
+
+# ---------------------------------------------------------------------------
+# Stage-major batched matching: all pairs advance through each stage
+# together, with the coarse rotation sweep chunked.  Compared to the
+# pair-major lax.map (csm_match_batch), every small op — raster one-hots,
+# refinement gathers, argmaxes — fuses across the pair dimension, attacking
+# the profiled long tail of 5-15 ms fusions with no dominant op
+# (ROUND_NOTES r2 backlog #4).  Same outputs as csm_match (parity-tested).
+# ---------------------------------------------------------------------------
+
+def _raster_rot_batch(points, mask, thetas, halfwidth, res, cells):
+    """Rasters of ``points`` under each rotation: [B, R, cells, cells].
+
+    points [B, P, 2], mask [B, P], thetas [B, R].  One-hot contraction on
+    the MXU, batched over pairs AND rotations.
+    """
+    c = jnp.cos(thetas)[..., None]                   # [B, R, 1]
+    s = jnp.sin(thetas)[..., None]
+    x = points[:, None, :, 0]                        # [B, 1, P]
+    y = points[:, None, :, 1]
+    rx = c * x - s * y                               # [B, R, P]
+    ry = s * x + c * y
+    ix = jnp.floor((rx + halfwidth) / res).astype(jnp.int32)
+    iy = jnp.floor((ry + halfwidth) / res).astype(jnp.int32)
+    cols = jnp.arange(cells, dtype=jnp.int32)
+    ohx = (ix[..., None] == cols).astype(jnp.bfloat16)          # [B,R,P,C]
+    ohy = ((iy[..., None] == cols)
+           & mask[:, None, :, None]).astype(jnp.bfloat16)
+    return jnp.einsum("brpy,brpx->bryx", ohy, ohx,
+                      preferred_element_type=jnp.float32)
+
+
+def _im2col(table, kh, kw):
+    """[O, kh*kw] patches of one table (O = OH*OW static)."""
+    oh = table.shape[0] - kh + 1
+    ow = table.shape[1] - kw + 1
+    return jnp.stack(
+        [jax.lax.dynamic_slice(table, (oy, ox), (kh, kw)).reshape(-1)
+         for oy in range(oh) for ox in range(ow)], axis=0)
+
+
+def _match_chunk_sm(cloud_a, mask_a, cloud_b, mask_b, centers,
+                    params: CSMParams, rot_chunk: int):
+    """Stage-major matching of one pair chunk.  All arrays carry a leading
+    chunk dim; returns (scores [C], transforms [C, 3])."""
+    C = cloud_a.shape[0]
+    n_valid = jnp.maximum(jnp.sum(mask_a.astype(jnp.float32), axis=1), 1.0)
+    tables = jax.vmap(lambda b, m: build_tables(b, m, params))(
+        cloud_b, mask_b)
+    table_lo, tgt_points = tables                    # [C, T, T], [C, Q, 2]
+
+    res = params.low_res
+    cells_k = params.kernel_cells(res)
+    offset_lo = params.offset_cells(res)
+    patches = jax.vmap(lambda t: _im2col(t, cells_k, cells_k))(table_lo)
+
+    rot_step_lo = res / params.scan_range
+    n_rot = max(int(np.ceil(2 * params.rotation_restriction / rot_step_lo)),
+                1)
+    n_rot_pad = -(-n_rot // rot_chunk) * rot_chunk
+    base = (-params.rotation_restriction
+            + (jnp.arange(n_rot_pad) + 0.5) * (2 * params.rotation_restriction
+                                               / n_rot))
+    thetas = centers[:, None] + base[None, :]        # [C, n_rot_pad]
+    # Padded rotations replicate the last real angle (same argmax result).
+    thetas = jnp.where(jnp.arange(n_rot_pad)[None, :] < n_rot, thetas,
+                       thetas[:, n_rot - 1, None])
+    thetas_c = thetas.reshape(C, -1, rot_chunk).transpose(1, 0, 2)
+
+    n_off = 2 * offset_lo + 1
+
+    def rot_chunk_body(carry, th_chunk):
+        best, bth, boy, box = carry
+        rasters = _raster_rot_batch(cloud_a, mask_a, th_chunk,
+                                    params.scan_range, res, cells_k)
+        scores = jnp.einsum("brk,bok->bro",
+                            rasters.reshape(C, rot_chunk, -1), patches,
+                            precision=HIGHEST)       # [C, rc, O]
+        flat = scores.reshape(C, -1)
+        k = jnp.argmax(flat, axis=1)
+        v = jnp.take_along_axis(flat, k[:, None], axis=1)[:, 0]
+        r = k // (n_off * n_off)
+        oy = (k % (n_off * n_off)) // n_off
+        ox = k % n_off
+        better = v > best
+        best = jnp.where(better, v, best)
+        bth = jnp.where(better,
+                        jnp.take_along_axis(th_chunk, r[:, None],
+                                            axis=1)[:, 0], bth)
+        boy = jnp.where(better, oy, boy)
+        box = jnp.where(better, ox, box)
+        return (best, bth, boy, box), None
+
+    init = (jnp.full((C,), -jnp.inf, jnp.float32),
+            jnp.zeros((C,), jnp.float32),
+            jnp.zeros((C,), jnp.int32), jnp.zeros((C,), jnp.int32))
+    (best, theta0, oy0, ox0), _ = jax.lax.scan(rot_chunk_body, init,
+                                               thetas_c)
+    ty0 = (oy0 - offset_lo).astype(jnp.float32) * res
+    tx0 = (ox0 - offset_lo).astype(jnp.float32) * res
+
+    # Refinement pyramid, batched over the chunk (same stages/geometry as
+    # csm_match_to_tables).
+    _, mid_res, _ = _stage_resolutions(params)
+    aligned = jax.vmap(_rotate)(cloud_a, theta0) \
+        + jnp.stack([tx0, ty0], axis=-1)[:, None, :]
+    neighbors = jax.vmap(lambda a, t: _nearest_targets(a, t, params.fine_k))(
+        aligned, tgt_points)                          # [C, P, K, 2]
+    stages = [
+        (mid_res, mid_res / params.scan_range, params.low_res, rot_step_lo),
+        (params.high_res, params.high_res / params.scan_range,
+         mid_res, mid_res / params.scan_range),
+    ]
+    theta, tx, ty = theta0, tx0, ty0
+    for res_s, rot_step, prev_res, prev_rot_step in stages:
+        n_rot_f = min(max(int(np.ceil(prev_rot_step / rot_step)) | 1, 1), 9)
+        th = theta[:, None] + ((jnp.arange(n_rot_f) - n_rot_f // 2)
+                               * rot_step)[None, :]   # [C, Rf]
+        offs = int(round(prev_res / res_s))
+        scores, grids = jax.vmap(
+            lambda a, m, nb, t, x0, y0: _refine_direct(
+                a, m, nb, t, res_s, offs, x0, y0, params.sigma)
+        )(cloud_a, mask_a, neighbors, th, tx, ty)     # [C, Rf, W, W]
+        r1, oy1, ox1 = jax.vmap(_argmax3)(scores)
+        idx = jnp.arange(C)
+        theta = th[idx, r1]
+        ty = grids[0][idx, oy1]
+        tx = grids[1][idx, ox1]
+        best = scores[idx, r1, oy1, ox1]
+    return best / n_valid, jnp.stack([tx, ty, theta], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "pair_chunk",
+                                             "rot_chunk"))
+def csm_match_batch_sm(clouds_a, masks_a, clouds_b, masks_b,
+                       params: CSMParams = CSMParams(),
+                       rotation_centers=None, pair_chunk: int = 4,
+                       rot_chunk: int = 32):
+    """Stage-major batched matching (same contract as csm_match_batch).
+
+    Pair count must be a multiple of pair_chunk (csm_match_pairs'
+    power-of-two padding guarantees it for pair_chunk in {1, 2, 4}).
+    """
+    q = clouds_a.shape[0]
+    if rotation_centers is None:
+        rotation_centers = jnp.zeros(q, jnp.float32)
+    pc = min(pair_chunk, q)
+    nc = q // pc
+    shape = lambda a: a.reshape((nc, pc) + a.shape[1:])
+    s, tr = jax.lax.map(
+        lambda args: _match_chunk_sm(*args, params=params,
+                                     rot_chunk=rot_chunk),
+        (shape(clouds_a), shape(masks_a), shape(clouds_b), shape(masks_b),
+         shape(jnp.asarray(rotation_centers, jnp.float32))))
+    return s.reshape(q), tr.reshape(q, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "inner_batch"))

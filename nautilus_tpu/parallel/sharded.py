@@ -143,7 +143,7 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
                   outlier, w_min: int, w_max: int, mesh: Mesh,
                   lm_params: LMParams = LMParams(),
                   use_normal_gate: bool = False,
-                  use_band: bool = False):
+                  use_band: bool = False, lr=None):
     """The full OptimizeOverGrowingWindow, multi-chip.
 
     Everything per-factor is sharded over the 'factors' mesh axis:
@@ -160,10 +160,20 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
     per accepted LM step instead of ~37 MB (~90x less) — and solve with
     the block-band Cholesky.  Requires all odometry factors in-band
     (|i - j| <= w_max; the single-chip Solver._band_eligible check).
+
+    lr: optional long-range loop-closure OdomFactors (Solver.
+    _long_range_factors()).  With use_band, these shard over the mesh
+    like everything else: each device linearizes its slice into DISJOINT
+    global columns of the Woodbury low-rank block U (global column
+    indexing by axis index), so the psum of the placed local blocks is
+    exactly the full U and applied closures keep the O(N w) band path
+    instead of forcing the dense fallback.  Without use_band, fold lr
+    into ``odom`` instead.
     """
     from nautilus_tpu.solve import correspond
     from nautilus_tpu.solve.factors import (FactorGraph,
-                                            assemble_banded_scatter)
+                                            assemble_banded_scatter,
+                                            lowrank_factor_columns)
     from nautilus_tpu.solve.lm import lm_loop_banded
 
     num = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -199,6 +209,14 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
                           for a in odom])
     hitl_p = type(hitl)(*[_pad_to_multiple(jnp.asarray(a), num)
                           for a in hitl])
+    if lr is not None and not use_band:
+        raise ValueError("lr factors require use_band=True (fold them into "
+                         "odom for the dense path)")
+    lr_p = None
+    k_loc = 0
+    if lr is not None:
+        lr_p = type(lr)(*[_pad_to_multiple(jnp.asarray(a), num) for a in lr])
+        k_loc = lr_p.i.shape[0] // num   # factors per shard
 
     shard = NamedSharding(mesh, P("factors"))
     repl = NamedSharding(mesh, P())
@@ -207,6 +225,8 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
     pair_valid = jax.device_put(pair_valid, shard)
     odom_p = jax.device_put(odom_p, jax.tree.map(lambda _: shard, odom_p))
     hitl_p = jax.device_put(hitl_p, jax.tree.map(lambda _: shard, hitl_p))
+    if lr_p is not None:
+        lr_p = jax.device_put(lr_p, jax.tree.map(lambda _: shard, lr_p))
     x = jax.device_put(x, repl)
     fixed_dof = jax.device_put(fixed_dof, repl)
     problem = jax.device_put(problem, jax.tree.map(lambda _: repl, problem))
@@ -218,13 +238,8 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
 
     fspec = lambda tree: jax.tree.map(lambda _: P("factors"), tree)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(), jax.tree.map(lambda _: P(), problem), P("factors"),
-                  P("factors"), P("factors"), fspec(odom_p), fspec(hitl_p),
-                  P(), P()),
-        out_specs=(P(), P(), P(), P()), check_vma=False)
-    def run(x, problem, psrc, ptgt, pvalid, odom_l, hitl_l, fixed, outlier):
+    def run(x, problem, psrc, ptgt, pvalid, odom_l, hitl_l, fixed, outlier,
+            lr_l=None):
         def assemble_psum(graph):
             def f(xx):
                 H, g, cost = assemble_normal_equations(xx, graph)
@@ -236,6 +251,20 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
         def assemble_psum_banded(graph):
             def f(xx):
                 sys, cost = assemble_banded_scatter(xx, graph, n, w_band)
+                if lr_l is not None:
+                    # Each shard linearizes its slice of the long-range
+                    # closures into DISJOINT global columns of U (offset =
+                    # shard index * local width); the psum below is then
+                    # exactly the full low-rank block, and the Woodbury
+                    # band solve replaces the dense fallback.
+                    U_loc, g_lr, cost_lr = lowrank_factor_columns(
+                        xx, lr_l, n)
+                    idx = jax.lax.axis_index("factors")
+                    U_glob = jnp.zeros((3 * n, 3 * k_loc * num), xx.dtype)
+                    U_glob = jax.lax.dynamic_update_slice(
+                        U_glob, U_loc, (0, idx * 3 * k_loc))
+                    sys = sys._replace(U=U_glob, g=sys.g + g_lr)
+                    cost = cost + cost_lr
                 return (jax.lax.psum(sys, "factors"),
                         jax.lax.psum(cost, "factors"))
             return f
@@ -269,5 +298,68 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
                 jnp.zeros(n_windows, jnp.int32))
         return jax.lax.fori_loop(0, n_windows, window_body, init)
 
-    return jax.jit(run)(x, problem, pair_src_p, pair_tgt_p, pair_valid,
-                        odom_p, hitl_p, fixed_dof, outlier)
+    specs = [P(), jax.tree.map(lambda _: P(), problem), P("factors"),
+             P("factors"), P("factors"), fspec(odom_p), fspec(hitl_p),
+             P(), P()]
+    args = [x, problem, pair_src_p, pair_tgt_p, pair_valid, odom_p, hitl_p,
+            fixed_dof, outlier]
+    if lr_p is not None:
+        specs.append(fspec(lr_p))
+        args.append(lr_p)
+    sharded_run = shard_map(run, mesh=mesh, in_specs=tuple(specs),
+                            out_specs=(P(), P(), P(), P()), check_vma=False)
+    return jax.jit(sharded_run)(*args)
+
+
+# ---------------------------------------------------------------------------
+# Sharded correlative scan matching: the O(N^2 * image) all-pairs loop-
+# closure workload (SURVEY §2c), embarrassingly parallel over the pair dim.
+# ---------------------------------------------------------------------------
+
+def csm_match_pairs_sharded(points, masks, src_idx, tgt_idx, mesh: Mesh,
+                            params=None, rotation_centers=None):
+    """csm_match_pairs with the pair dimension sharded across the mesh.
+
+    Each device matches its slice of the gated pair list (clouds are
+    gathered shard-locally from the replicated scan arrays — no
+    communication at all until the final gather of the [Q] results), so
+    auto-LC's CSM batch scales linearly with chip count.  Same contract
+    as kernels.csm.csm_match_pairs.
+    """
+    from nautilus_tpu.kernels.csm import CSMParams, csm_match_batch
+
+    params = params or CSMParams()
+    src_idx = np.asarray(src_idx)
+    tgt_idx = np.asarray(tgt_idx)
+    q = len(src_idx)
+    if q == 0:
+        return np.zeros(0, np.float32), np.zeros((0, 3), np.float32)
+    if rotation_centers is None:
+        rotation_centers = np.zeros(q, np.float32)
+    rotation_centers = np.asarray(rotation_centers, np.float32)
+    num = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    # Pad the pair count to a multiple of the mesh size (power-of-two
+    # bucketing on the per-shard count keeps compiled shapes reusable).
+    per = 1
+    while per * num < q:
+        per *= 2
+    g = per * num
+    pad = np.concatenate([np.arange(q), np.zeros(g - q, np.int64)])
+    A = jnp.asarray(points[src_idx[pad]])
+    MA = jnp.asarray(masks[src_idx[pad]])
+    B = jnp.asarray(points[tgt_idx[pad]])
+    MB = jnp.asarray(masks[tgt_idx[pad]])
+    C = jnp.asarray(rotation_centers[pad])
+
+    shard = NamedSharding(mesh, P("factors"))
+    A, MA, B, MB, C = (jax.device_put(v, shard) for v in (A, MA, B, MB, C))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("factors"),) * 5,
+        out_specs=(P("factors"), P("factors")), check_vma=False)
+    def run(a, ma, b, mb, c):
+        return csm_match_batch(a, ma, b, mb, params, rotation_centers=c)
+
+    s, tr = jax.jit(run)(A, MA, B, MB, C)
+    return np.asarray(s)[:q], np.asarray(tr)[:q]

@@ -416,6 +416,53 @@ class TestDescriptorGate:
         assert len(loose) == 2
 
 
+class TestScoreThresholdMargin:
+    def test_office_classes_separate(self):
+        """aligned/overlapping vs disjoint pair scores separate at the
+        measured -3.5 operating point in the office world (full study:
+        benchmarks/csm_threshold_sweep.py -> CSM_THRESHOLD.md)."""
+        import sys
+        from pathlib import Path
+        bench_dir = Path(__file__).resolve().parent.parent / "benchmarks"
+        sys.path.insert(0, str(bench_dir))
+        try:
+            from csm_threshold_sweep import sample_pairs, score_class
+        finally:
+            sys.path.pop(0)
+        classes, max_range = sample_pairs("office", seed=0, per_class=3)
+        true_scores = np.concatenate([
+            score_class(classes["aligned"], max_range),
+            score_class(classes["overlapping"], max_range)])
+        disjoint = score_class(classes["disjoint"], max_range)
+        assert true_scores.min() > -3.5, true_scores
+        assert disjoint.max() < -3.5, disjoint
+
+
+class TestStageMajorCSM:
+    def test_matches_pair_major(self):
+        """The stage-major batch engine returns identical results to the
+        pair-major lax.map engine."""
+        from nautilus_tpu.kernels.csm import (csm_match_batch,
+                                              csm_match_batch_sm)
+        state, _ = make_problem(num_nodes=12, world_kind="office",
+                                num_beams=360, seed=9)
+        pts = state.problem.points
+        msk = state.problem.points_mask
+        src = np.array([1, 2, 3, 5, 6, 8, 9, 10])
+        tgt = np.array([0, 0, 1, 4, 4, 7, 7, 8])
+        centers = jnp.asarray(
+            state.solution[src, 2] - state.solution[tgt, 2], jnp.float32)
+        params = CSMParams(scan_range=10.0, high_res=0.05)
+        s1, t1 = csm_match_batch(pts[src], msk[src], pts[tgt], msk[tgt],
+                                 params, rotation_centers=centers)
+        s2, t2 = csm_match_batch_sm(pts[src], msk[src], pts[tgt], msk[tgt],
+                                    params, rotation_centers=centers)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
+                                   atol=1e-5)
+
+
 class TestGroupedCSM:
     def test_grouped_matches_batch(self):
         from nautilus_tpu.kernels.csm import csm_match_batch, csm_match_grouped

@@ -176,3 +176,85 @@ def test_sharded_sweep_banded_matches_fused(setup):
 
     np.testing.assert_allclose(np.asarray(fc2), np.asarray(fc1), rtol=2e-3)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-2)
+
+
+def test_sharded_sweep_banded_with_lr_matches_fused(setup):
+    """Applied long-range loop closures shard as disjoint Woodbury U
+    columns: the band multi-chip sweep equals the single-device fused
+    band+Woodbury sweep (no dense fallback)."""
+    from nautilus_tpu.core.luaconf import load_config_text
+    from nautilus_tpu.ingest.synthetic import make_problem
+    from nautilus_tpu.parallel.sharded import sharded_sweep
+    from nautilus_tpu.solve.factors import empty_hitl
+    from nautilus_tpu.solve.solver import Solver, _fused_sweep
+
+    state, _ = make_problem(num_nodes=12, world_kind="room", num_beams=360,
+                            seed=7, odom_noise_trans=0.02,
+                            odom_noise_rot=0.01)
+    cfg = load_config_text(CFG)
+    # Three long-range closures (delta > w_max=3) with distinct weights.
+    for (a, b, wt) in ((0, 10, 3.0), (1, 11, 2.0), (2, 9, 4.0)):
+        rel = state.solution[b] - state.solution[a]
+        state.lc_factors.append((a, b, rel[:2].copy(), float(rel[2]),
+                                 wt, wt))
+    solver = Solver(state, cfg)
+    assert solver._resolve_solver() == "band"
+    x = solver._current_x()
+    fixed = solver._fixed_mask()
+    odom = solver._odom_factors(exclude_long_range=True)
+    lr = solver._long_range_factors()
+    hitl = empty_hitl(solver._dtype())
+    outlier = jnp.asarray(0.25, x.dtype)
+
+    x1, ic1, fc1, it1, _finite = _fused_sweep(
+        x, state.problem, solver._pair_src, solver._pair_tgt, odom, hitl,
+        fixed, outlier, 1, 3, solver.lm_params, False, solver._layout,
+        True, True, lr)
+
+    mesh = default_mesh(8)
+    x2, ic2, fc2, it2 = sharded_sweep(
+        x, state.problem, solver._pair_src, solver._pair_tgt, odom, hitl,
+        fixed, outlier, 1, 3, mesh, solver.lm_params, use_band=True, lr=lr)
+
+    np.testing.assert_allclose(np.asarray(fc2), np.asarray(fc1), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-2)
+
+
+def test_sharded_lr_requires_band():
+    from nautilus_tpu.parallel.sharded import sharded_sweep
+    from nautilus_tpu.solve.factors import empty_hitl
+    state, _ = make_problem(num_nodes=8, world_kind="room", num_beams=180,
+                            seed=9)
+    cfg = load_config_text(CFG)
+    solver = Solver(state, cfg)
+    state.lc_factors.append((0, 7, np.zeros(2), 0.0, 1.0, 1.0))
+    x = solver._current_x()
+    with pytest.raises(ValueError, match="lr"):
+        sharded_sweep(x, state.problem, solver._pair_src, solver._pair_tgt,
+                      solver._odom_factors(exclude_long_range=True),
+                      empty_hitl(x.dtype), solver._fixed_mask(),
+                      jnp.asarray(0.25, x.dtype), 1, 3, default_mesh(8),
+                      use_band=False, lr=solver._long_range_factors())
+
+
+def test_sharded_csm_matches_single_device(setup):
+    """Pair-sharded CSM equals the single-device batch (the all-pairs
+    loop-closure workload, SURVEY §2c)."""
+    from nautilus_tpu.kernels.csm import CSMParams, csm_match_pairs
+    from nautilus_tpu.parallel.sharded import csm_match_pairs_sharded
+
+    state, _ = make_problem(num_nodes=10, world_kind="office", num_beams=360,
+                            seed=9)
+    pts = state.problem.points
+    msk = state.problem.points_mask
+    src = np.array([1, 2, 3, 5, 6, 8])
+    tgt = np.array([0, 0, 1, 4, 4, 7])
+    centers = np.asarray(
+        state.solution[src, 2] - state.solution[tgt, 2], np.float32)
+    params = CSMParams(scan_range=10.0, high_res=0.05)
+    s1, t1 = csm_match_pairs(pts, msk, src, tgt, params,
+                             rotation_centers=centers)
+    s2, t2 = csm_match_pairs_sharded(pts, msk, src, tgt, default_mesh(8),
+                                     params, rotation_centers=centers)
+    np.testing.assert_allclose(s2, s1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(t2, t1, atol=1e-5)

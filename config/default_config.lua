@@ -44,7 +44,12 @@ keyframe_chi_squared_test=false
 keyframe_min_odom_distance=0.5
 keyframe_local_uncertainty_filtering=true
 local_uncertainty_condition_threshold=9.5
-local_uncertainty_scale_threshold=0.3
+-- Engine recalibration (DEVIATIONS.md): the reference's 0.3 belongs to its
+-- external torch estimator's scale convention; the in-process scorer
+-- (loop_closure/learned.local_uncertainty) has scale >= 1 by construction
+-- (1/sqrt(lam_min/n) with unit normals).  Measured: good scans p95 = 2.35,
+-- degenerate corridor/wall scans >= 2.57 (benchmarks/descriptor_gate_study).
+local_uncertainty_scale_threshold=2.5
 local_uncertainty_prev_scans=2
 lc_match_threshold=0.5
 lc_base_max_range = 3.5

@@ -29,7 +29,10 @@ def select_keyframes(state: SLAMState, config) -> np.ndarray:
                                       True))
     cond_thresh = float(config.get("local_uncertainty_condition_threshold",
                                    9.5))
-    scale_thresh = float(config.get("local_uncertainty_scale_threshold", 0.3))
+    # 2.5 is the engine-recalibrated default (the reference's 0.3 is on its
+    # external estimator's scale; ours is >= 1 by construction — see
+    # default_config.lua:47 and DEVIATIONS.md).
+    scale_thresh = float(config.get("local_uncertainty_scale_threshold", 2.5))
 
     if use_uncertainty:
         conds, scales = jax.vmap(local_uncertainty)(

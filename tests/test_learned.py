@@ -102,6 +102,38 @@ local_uncertainty_scale_threshold=0.0001
         assert select_keyframes(state, open_cfg).sum() > 0
         assert select_keyframes(state, strict_cfg).sum() == 0
 
+    def test_default_thresholds_are_calibrated_to_engine_scale(self):
+        """The engine scorer's scale is >= 1 by construction
+        (1/sqrt(lam_min/n), unit normals), so the reference's 0.3 default
+        — set for its external torch estimator — would reject EVERY scan.
+        The recalibrated default (2.5, default_config.lua:47) must keep
+        healthy scans and still reject degeneracy (one-wall / oblique
+        corridor scans measure >= 2.57)."""
+        import jax
+        import jax.numpy as jnp
+        from nautilus_tpu.core.preprocess import preprocess
+        from nautilus_tpu.core.problem import pad_clouds
+        from nautilus_tpu.ingest.synthetic import raycast, scan_to_points
+        from nautilus_tpu.loop_closure.learned import local_uncertainty
+
+        state, _ = make_problem(num_nodes=12, world_kind="office",
+                                num_beams=180, seed=5)
+        default_cfg = load_config_text("keyframe_min_odom_distance=0.1\n"
+                                       "keyframe_local_uncertainty_filtering"
+                                       "=true\n")
+        kf = select_keyframes(state, default_cfg)
+        assert kf.sum() >= state.num_nodes // 2, kf
+
+        # One long wall: translation along it is unconstrained.
+        world = np.asarray([[[-50.0, 2.0], [50.0, 2.0]]])
+        cl = scan_to_points(raycast(world, np.zeros(3), 180, max_range=10),
+                            max_range=10).astype(np.float32)
+        pts, msk = pad_clouds([cl], pad_multiple=128)
+        normals, *_ = preprocess(pts, msk, as_numpy=False)
+        _, scale = local_uncertainty(jnp.asarray(pts[0]), jnp.asarray(msk[0]),
+                                     normals[0])
+        assert float(scale) > 2.5, float(scale)
+
     def test_keyframe_pairs_gap(self):
         kf = np.zeros(10, bool)
         kf[[0, 2, 4, 6, 8]] = True

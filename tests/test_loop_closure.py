@@ -297,62 +297,9 @@ class TestAutoLC:
 
 
 def _reverse_traversal_state(seed=3):
-    """A path re-traversed in the OPPOSITE direction: lead-in leg (so the
-    un-gateable node 0 — the reference re-gauges at min(s,t)-1,
-    lc_matcher.cc:38 — is away from the loop), forward pass at heading 0,
-    return pass at heading pi, slightly offset in y.  Built like
-    ingest.synthetic.synthesize but with a custom world + trajectory whose
-    candidate chain (5 m spacing on solution positions) puts a co-located
-    cross-pass pair mid-trajectory."""
-    import jax.numpy as jnp
-    from nautilus_tpu.core.preprocess import preprocess
-    from nautilus_tpu.core.problem import (build_problem, pad_clouds,
-                                           RawNodes, SLAMState)
-
-    rng = np.random.default_rng(seed)
-    half, span = 6.0, 4.5
-    segs = []
-    segs.extend([[[-half, -half], [half, -half]],
-                 [[half, -half], [half, half]],
-                 [[half, half], [-half, half]],
-                 [[-half, half], [-half, -half]],
-                 # Interior stubs: break the box's 180-degree symmetry so
-                 # the reverse match is uniquely determined.
-                 [[-3, -half], [-3, -half + 2]], [[2, half - 2], [2, half]],
-                 [[-half, 4], [-half + 2, 4]], [[4, -4], [half, -4]]])
-    world = np.asarray(segs, np.float64)
-    ys0 = np.linspace(half - 1.5, 0.3, 6)
-    xs_f = np.linspace(-span, span, 13)
-    xs_r = np.linspace(span, -span, 13)
-    gt = np.concatenate([
-        np.stack([np.full(6, -span), ys0, np.full(6, -np.pi / 2)], axis=-1),
-        np.stack([xs_f, np.full(13, -0.2), np.zeros(13)], axis=-1),
-        np.stack([xs_r, np.full(13, 0.2), np.full(13, np.pi)], axis=-1)])
-    num_nodes = len(gt)
-    clouds = [scan_to_points(raycast(world, gt[i], 720, max_range=10),
-                             max_range=10).astype(np.float32)
-              for i in range(num_nodes)]
-    d_trans = gt[1:, :2] - gt[:-1, :2]
-    d_rot = np.arctan2(np.sin(gt[1:, 2] - gt[:-1, 2]),
-                       np.cos(gt[1:, 2] - gt[:-1, 2]))
-    d_trans = d_trans + rng.normal(scale=0.02, size=d_trans.shape)
-    d_rot = d_rot + rng.normal(scale=0.008, size=d_rot.shape)
-    init = np.zeros_like(gt)
-    init[0] = gt[0]
-    init[1:, :2] = gt[0, :2] + np.cumsum(d_trans, axis=0)
-    init[1:, 2] = gt[0, 2] + np.cumsum(d_rot)
-    points, mask = pad_clouds(clouds, pad_multiple=128)
-    raw = RawNodes(
-        points=points, points_mask=mask, initial_poses=init,
-        timestamps=np.arange(num_nodes, dtype=np.float64) * 0.5 + 1e9,
-        odom_i=np.arange(num_nodes - 1, dtype=np.int64),
-        odom_j=np.arange(1, num_nodes, dtype=np.int64),
-        odom_trans=d_trans, odom_rot=d_rot)
-    normals, pidx, pmask, eidx, emask, _ = preprocess(
-        raw.points, raw.points_mask, as_numpy=False)
-    problem = build_problem(raw, normals, pidx, pmask, eidx, emask,
-                            dtype=jnp.float32)
-    return SLAMState.from_problem(problem, timestamps=raw.timestamps), gt
+    """Shared scenario (moved to the library: ingest.synthetic.reverse_traversal_problem)."""
+    from nautilus_tpu.ingest.synthetic import reverse_traversal_problem
+    return reverse_traversal_problem(seed)
 
 
 class TestReverseTraversalLC:

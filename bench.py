@@ -71,22 +71,26 @@ def main():
     # defaults); the 12 m-range config is kept as a secondary number for
     # continuity with round 1.
     import jax
-    from nautilus_tpu.kernels.csm import CSMParams, csm_match_batch
+    from nautilus_tpu.kernels.csm import (CSMParams, csm_match_batch,
+                                          csm_match_batch_sm)
     pts = state.problem.points
     msk = state.problem.points_mask
     n_pairs = min(64, args.nodes - 1)
     ss = np.arange(n_pairs)
     tt = ss + 1
 
-    def time_csm(params):
-        res = csm_match_batch(pts[ss], msk[ss], pts[tt], msk[tt], params)
+    def time_csm(params, match=csm_match_batch_sm):
+        res = match(pts[ss], msk[ss], pts[tt], msk[tt], params)
         jax.block_until_ready(res)  # warm-up/compile
         t0 = time.perf_counter()
-        res = csm_match_batch(pts[ss], msk[ss], pts[tt], msk[tt], params)
+        res = match(pts[ss], msk[ss], pts[tt], msk[tt], params)
         jax.block_until_ready(res)
         return n_pairs / (time.perf_counter() - t0)
 
+    # Primary metric = the production engine (stage-major, the auto-LC
+    # default); the pair-major engine is kept as a secondary number.
     scan_match_pairs_per_s = time_csm(CSMParams())          # reference cfg
+    scan_match_pairs_per_s_pm = time_csm(CSMParams(), match=csm_match_batch)
     scan_match_pairs_per_s_12m = time_csm(CSMParams(scan_range=12.0))
 
     # --- CPU scan-match baseline (same algorithm, numpy/BLAS — parity
@@ -224,6 +228,8 @@ def main():
         "cost_parity_pct": round(parity_pct, 3) if parity_pct == parity_pct else None,
         "scan_match_pairs_per_s": round(scan_match_pairs_per_s, 1),
         "scan_match_pairs_per_s_12m": round(scan_match_pairs_per_s_12m, 1),
+        "scan_match_pairs_per_s_pair_major": round(scan_match_pairs_per_s_pm,
+                                                   1),
         "scan_match_cpu_pairs_per_s": (round(cpu_pairs_per_s, 2)
                                        if cpu_pairs_per_s == cpu_pairs_per_s
                                        else None),

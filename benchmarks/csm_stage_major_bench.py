@@ -6,6 +6,12 @@ on the same synthetic workload bench.py uses, sweeping the stage-major
 becomes the auto-LC default (ROUND_NOTES r2 backlog #4 restructure).
 
 Run on the real TPU: python benchmarks/csm_stage_major_bench.py
+
+Measured 2026-08-17 (v5e via relay, batch 64, reference params, warm):
+  pair-major        292.8 pairs/s (218.6 ms)
+  stage-major 4/32  468.7 pairs/s (136.5 ms)   <- production default (1.6x)
+  stage-major 8/32, 4/64: relay compile exceeds 10 min (program too large
+  for the remote-compile service); excluded from the default grid.
 """
 import sys
 import time
@@ -47,8 +53,8 @@ def main():
         lambda: csm_match_batch(pts[ss], msk[ss], pts[tt], msk[tt], params))
 
     best = ("pair-major", base_rate)
-    for pc in (2, 4, 8):
-        for rc in (16, 32, 64):
+    for pc in (2, 4):
+        for rc in (16, 32):
             label = f"stage-major pc={pc} rc={rc}"
             out, rate = bench(
                 label,

@@ -307,7 +307,7 @@ def wrap_angle(a):
 
 def csm_match_pairs(points, masks, src_idx, tgt_idx,
                     params: CSMParams = CSMParams(),
-                    rotation_centers=None):
+                    rotation_centers=None, engine: str = "stage"):
     """Arbitrary (source, target) pair list in ONE device dispatch.
 
     Pads the pair count to a power of two (repeating pair 0) so varying
@@ -318,6 +318,12 @@ def csm_match_pairs(points, masks, src_idx, tgt_idx,
 
     rotation_centers: optional [Q] per-pair rotation-search centers
     (solution-implied relative headings); defaults to zero.
+
+    engine: "stage" (default) = stage-major batch engine
+    (csm_match_batch_sm) — measured 1.6x the pair-major engine on TPU at
+    reference params (468.7 vs 292.8 pairs/s, batch 64; the per-pair
+    small-op tail fuses across the pair dimension); "pair" = the
+    pair-major lax.map engine.  Outputs are identical (parity-tested).
     """
     src_idx = np.asarray(src_idx)
     tgt_idx = np.asarray(tgt_idx)
@@ -331,9 +337,10 @@ def csm_match_pairs(points, masks, src_idx, tgt_idx,
     while g < q:
         g *= 2
     pad = np.concatenate([np.arange(q), np.zeros(g - q, np.int64)])
-    s, tr = csm_match_batch(points[src_idx[pad]], masks[src_idx[pad]],
-                            points[tgt_idx[pad]], masks[tgt_idx[pad]],
-                            params, rotation_centers=rotation_centers[pad])
+    match = (csm_match_batch_sm if engine == "stage" else csm_match_batch)
+    s, tr = match(points[src_idx[pad]], masks[src_idx[pad]],
+                  points[tgt_idx[pad]], masks[tgt_idx[pad]],
+                  params, rotation_centers=rotation_centers[pad])
     return np.asarray(s)[:q], np.asarray(tr)[:q]
 
 

@@ -258,8 +258,12 @@ def _linearize_normal_analytic(pose_s, pose_t, src_pts, tgt_pts, src_nrm,
     diff = p_t - tgt_pts
     r_tgt = jnp.sum(tgt_nrm * diff, axis=-1) * m
     r_src = -jnp.sum(src_nrm * diff, axis=-1) * m
-    J_tgt = jnp.einsum("qsd,qsdk->qsk", tgt_nrm, A) * m[..., None]
-    J_src = -jnp.einsum("qsd,qsdk->qsk", src_nrm, A) * m[..., None]
+    # Elementwise mul+sum, NOT einsum: the contraction dim is 2, so this
+    # is VPU work, and the einsum formulation was the trigger of the
+    # fused-graph kernel fault at N >= 2000 (ROUND_NOTES r2 #20 — the
+    # only analytic form that used a dot; the point form never faulted).
+    J_tgt = jnp.sum(tgt_nrm[..., None] * A, axis=-2) * m[..., None]
+    J_src = -jnp.sum(src_nrm[..., None] * A, axis=-2) * m[..., None]
     Q, S = src_pts.shape[:2]
     r = jnp.stack([r_tgt, r_src], axis=-1).reshape(Q, 2 * S)
     J = jnp.stack([J_tgt, J_src], axis=-2).reshape(Q, 2 * S, 6)

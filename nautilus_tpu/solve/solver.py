@@ -407,13 +407,13 @@ class Solver:
         dtype = self._dtype()
         outlier = jnp.asarray(cfg.outlier_threshold, dtype)
         t0 = time.perf_counter()
-        # Closed-form Jacobians inside the big fused graph crash the
-        # relay's TPU worker somewhere in (1000, 2000] poses (kernel
-        # fault, reproducible; jacfwd compiles of the same graph are
-        # fine, and the HOST-loop analytic path is fine to N=20000+).
-        # Validated fused+analytic scales keep the fast path; larger
-        # fused graphs fall back to jacfwd linearization.
-        analytic = self.state.num_nodes <= 1200
+        # Closed-form Jacobians everywhere.  (History: the fused graph
+        # killed the relay TPU worker at N >= 2000 when the normal-residual
+        # closed form used an einsum over its size-2 contraction dim; the
+        # elementwise formulation in factors._linearize_normal_analytic
+        # removed the fault — validated fused+analytic to N=5000 on
+        # device, tests/test_tpu_parity.py::test_analytic_fused_at_scale.)
+        analytic = True
         out = _fused_sweep(
             x, problem, self._pair_src, self._pair_tgt, odom, hitl, fixed,
             outlier, w_min, w_max, self.lm_params, self.use_normal_gate,

@@ -14,8 +14,6 @@ Compile note: each test uses small fixed shapes so first-run compiles
 through the axon relay stay in the tens of seconds and cache persistently.
 """
 
-import os
-
 import numpy as np
 import pytest
 import jax
@@ -188,24 +186,21 @@ def test_csm_rotation_center_on_device():
     assert np.linalg.norm(tr[:2] - true_t[:2]) < 0.12
 
 
-@pytest.mark.skipif(os.environ.get("NAUTILUS_TPU_CRASH_REPRO") != "1",
-                    reason="kills the relay's TPU worker — opt in with "
-                           "NAUTILUS_TPU_CRASH_REPRO=1")
-@pytest.mark.xfail(reason="known runtime fault: closed-form Jacobians "
-                          "inside the fused whole-sweep graph at N >= 2000 "
-                          "kill the axon TPU worker with a kernel fault "
-                          "(ROUND_NOTES r2 #20); jacfwd of the identical "
-                          "graph compiles and runs fine", run=True)
-def test_analytic_fused_kernel_fault_repro():
-    """Minimal repro of the round-2 analytic-fused crash.  Expected
-    behavior if the platform bug is ever fixed: this test PASSES (xfail
-    becomes xpass) and the N<=1200 gate in Solver._solve_slam_fused can
-    be lifted."""
+def test_analytic_fused_at_scale():
+    """Regression test for the round-2 analytic-fused kernel fault.
+
+    History: closed-form Jacobians inside the fused whole-sweep graph at
+    N >= 2000 killed the axon TPU worker (ROUND_NOTES r2 #20).  Bisection
+    (round 3) isolated the trigger to the einsum over the size-2
+    contraction dim in factors._linearize_normal_analytic; the
+    elementwise formulation removed the fault, so the fused path now runs
+    analytic at every scale (solver.py lifted the N<=1200 gate).  This
+    test runs the previously-crashing configuration and must complete.
+    """
     state, _ = make_problem(num_nodes=2000, world_kind="building",
                             num_beams=360, seed=1)
     cfg = load_config_text(DEFAULTS)
     solver = Solver(state, cfg, fused_sweep=True)
-    # Bypass the protective gate to reproduce: force analytic at scale.
     from nautilus_tpu.solve import solver as solver_mod
     from nautilus_tpu.solve.lm import LMParams
     out = solver_mod._fused_sweep(
@@ -215,3 +210,5 @@ def test_analytic_fused_kernel_fault_repro():
         jnp.asarray(0.25, solver._dtype()), 1, 3, LMParams(),
         False, solver._layout, True, True, None)
     jax.block_until_ready(out)
+    finite = bool(np.asarray(out[-1]))
+    assert finite

@@ -420,11 +420,10 @@ def assemble_normal_equations(x, graph: FactorGraph,
             cost = cost + 0.5 * jnp.sum(term[0] * term[0])
 
     # Correspondence factors: banded accumulation.
-    corr_terms = [t for t in (
-        linearize_two_pose(x, a, b, fn, data, analytic)
-        for (a, b, fn, data) in corr_factor_specs(graph)) if t is not None]
-    if corr_terms:
-        diag, band, gd, cost_c = _accumulate_banded(x, corr_terms, layout)
+    corr_specs = corr_factor_specs(graph)
+    if corr_specs:
+        diag, band, gd, cost_c = _accumulate_banded(x, corr_specs, layout,
+                                                    analytic)
         cost = cost + cost_c
         n3 = 3 * layout.n
         Hb = _band_to_dense(diag, band, layout)
@@ -452,12 +451,20 @@ class BandLayout(NamedTuple):
         return offs
 
 
-def _accumulate_banded(x, corr_terms, layout: BandLayout):
-    """Accumulate correspondence factor blocks into block-band form.
+def _accumulate_banded(x, specs, layout: BandLayout, analytic: bool = True):
+    """Linearize + accumulate correspondence factor blocks in band form.
 
+    specs: (idx_a, idx_b, residual_fn, data) tuples (corr_factor_specs).
     Returns (diag [n,3,3], band list of w [n,3,3] arrays where band[d-1]
     holds block (i, i-d) stored at row i, gdiag [n,3], cost).  All adds
     are contiguous pads — no scatter.
+
+    Types are linearized ONE AT A TIME with an optimization barrier
+    threading x between them: the next type's Jacobian ops depend on the
+    barrier output, so XLA cannot schedule both closed-form [Q, 2S, 6]
+    tensors live simultaneously.  Two such tensors co-resident in the
+    fused sweep at Q ~ 20000 kill the relay's TPU worker (kernel fault —
+    each type alone runs clean at the same scale; round-3 bisection).
     """
     n, w = layout.n, layout.w
     offs = layout.offsets()
@@ -466,7 +473,11 @@ def _accumulate_banded(x, corr_terms, layout: BandLayout):
     band = [jnp.zeros((n, 3, 3), dtype) for _ in range(w)]
     gd = jnp.zeros((n, 3), dtype)
     cost = jnp.zeros((), dtype)
-    for r, J, _dof in corr_terms:
+    for k, (a, b, fn, data) in enumerate(specs):
+        term = linearize_two_pose(x, a, b, fn, data, analytic)
+        if term is None:
+            continue
+        r, J, _dof = term
         cost = cost + 0.5 * jnp.sum(r * r)
         gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)    # [Q, 6]
         Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)  # [Q, 6, 6]
@@ -484,6 +495,9 @@ def _accumulate_banded(x, corr_terms, layout: BandLayout):
             band[d - 1] = band[d - 1] + jnp.pad(Hd[:, :3, 3:], pre + z3)
             gd = gd + jnp.pad(gqd[:, :3], pre + (z3[0],))
             gd = gd + jnp.pad(gqd[:, 3:], post + (z3[0],))
+        if k + 1 < len(specs):
+            diag, gd, cost, x, *band = jax.lax.optimization_barrier(
+                (diag, gd, cost, x, *band))
     return diag, band, gd, cost
 
 
@@ -612,10 +626,8 @@ def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout,
     n, w = layout.n, layout.w
     L = x.shape[0] - n   # line-pose slots
 
-    corr_terms = [t for t in (
-        linearize_two_pose(x, a, b, fn, data, analytic)
-        for (a, b, fn, data) in corr_factor_specs(graph)) if t is not None]
-    diag, band, gd, cost = _accumulate_banded(x, corr_terms, layout)
+    diag, band, gd, cost = _accumulate_banded(x, corr_factor_specs(graph),
+                                              layout, analytic)
     lv = jnp.concatenate([diag[None], jnp.stack(band)]) if band else \
         diag[None]
 

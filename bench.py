@@ -80,12 +80,17 @@ def main():
     tt = ss + 1
 
     def time_csm(params, match=csm_match_batch_sm):
+        # Best of 3: warm per-batch wall through the relay fluctuates
+        # 120-190 ms with relay load (benchmarks/csm_outer_jit_ab.py).
         res = match(pts[ss], msk[ss], pts[tt], msk[tt], params)
         jax.block_until_ready(res)  # warm-up/compile
-        t0 = time.perf_counter()
-        res = match(pts[ss], msk[ss], pts[tt], msk[tt], params)
-        jax.block_until_ready(res)
-        return n_pairs / (time.perf_counter() - t0)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = match(pts[ss], msk[ss], pts[tt], msk[tt], params)
+            jax.block_until_ready(res)
+            best = min(best, time.perf_counter() - t0)
+        return n_pairs / best
 
     # Primary metric = the production engine (stage-major, the auto-LC
     # default); the pair-major engine is kept as a secondary number.

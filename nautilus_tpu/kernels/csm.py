@@ -556,11 +556,12 @@ def csm_match_batch_sm(clouds_a, masks_a, clouds_b, masks_b,
 
     Pair count must be a multiple of pair_chunk (csm_match_pairs'
     power-of-two padding guarantees it for pair_chunk in {1, 2, 4}).
-    Deliberately NOT wrapped in an outer jit: the lax.map/scan body is the
-    compiled unit, and measurements show the outer-jitted whole runs 1.7x
-    SLOWER on this runtime (228.9 vs 136.5 ms per 64-pair batch) — the
-    relay pipelines the surrounding small dispatches with device work,
-    while the monolithic program serializes them into the critical path.
+    The outer jit is load-bearing on this runtime: without it the eager
+    reshapes/gathers around the lax.map dispatch one-by-one through the
+    relay's ~35+ ms-per-dispatch floor and throughput collapses 14x
+    (36 vs 518 pairs/s, 64-pair batch — benchmarks/csm_outer_jit_ab.py).
+    Warm per-batch wall fluctuates 120-190 ms with relay load; compare
+    engines with best-of-N timing, not single reps.
     """
     q = clouds_a.shape[0]
     if rotation_centers is None:

@@ -148,8 +148,13 @@ def _correlate_matmul(table, kernels):
     patches = jnp.stack(
         [jax.lax.dynamic_slice(table, (oy, ox), (kh, kw)).reshape(-1)
          for oy in range(oh) for ox in range(ow)], axis=1)   # [kh*kw, OH*OW]
-    scores = jax.lax.dot(kernels.reshape(r, -1), patches,
-                         precision=jax.lax.Precision.HIGHEST,
+    # bf16 operand storage, f32 accumulation: the patches tensor is the
+    # engine's HBM-traffic hot spot and the coarse stage only has to get
+    # the argmax cell right (the fine stages rescore continuously);
+    # argmax parity vs f32 verified in benchmarks/csm_coarse_probe.py
+    # and the stage-vs-pair engine parity tests.
+    scores = jax.lax.dot(kernels.reshape(r, -1).astype(jnp.bfloat16),
+                         patches.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
     return scores.reshape(r, oh, ow)
 
@@ -320,10 +325,12 @@ def csm_match_pairs(points, masks, src_idx, tgt_idx,
     (solution-implied relative headings); defaults to zero.
 
     engine: "stage" (default) = stage-major batch engine
-    (csm_match_batch_sm) — measured 1.6x the pair-major engine on TPU at
-    reference params (468.7 vs 292.8 pairs/s, batch 64; the per-pair
-    small-op tail fuses across the pair dimension); "pair" = the
-    pair-major lax.map engine.  Outputs are identical (parity-tested).
+    (csm_match_batch_sm) — measured 2.2x the pair-major engine on TPU at
+    reference params (832 vs 373 pairs/s, batch 64, best of 5: the
+    per-pair small-op tail fuses across the pair dimension, the pair
+    gathers/readbacks collapse to one dispatch each way, and the coarse
+    patches ride HBM in bf16); "pair" = the pair-major lax.map engine.
+    Outputs agree to 1e-5 (parity-tested).
     """
     src_idx = np.asarray(src_idx)
     tgt_idx = np.asarray(tgt_idx)
@@ -337,10 +344,21 @@ def csm_match_pairs(points, masks, src_idx, tgt_idx,
     while g < q:
         g *= 2
     pad = np.concatenate([np.arange(q), np.zeros(g - q, np.int64)])
-    match = (csm_match_batch_sm if engine == "stage" else csm_match_batch)
-    s, tr = match(points[src_idx[pad]], masks[src_idx[pad]],
-                  points[tgt_idx[pad]], masks[tgt_idx[pad]],
-                  params, rotation_centers=rotation_centers[pad])
+    if engine == "stage":
+        # Gathers ride inside the jitted program; indices packed into one
+        # upload, outputs into one readback (see _match_pairs_sm_gathered).
+        packed = np.asarray(_match_pairs_sm_gathered(
+            jnp.asarray(points), jnp.asarray(masks),
+            jnp.asarray(np.stack([src_idx[pad], tgt_idx[pad]])
+                        .astype(np.int32)),
+            jnp.asarray(rotation_centers[pad]), params))
+        return (packed[:q, 0].astype(np.float32),
+                packed[:q, 1:4].astype(np.float32))
+    else:
+        s, tr = csm_match_batch(points[src_idx[pad]], masks[src_idx[pad]],
+                                points[tgt_idx[pad]], masks[tgt_idx[pad]],
+                                params,
+                                rotation_centers=rotation_centers[pad])
     return np.asarray(s)[:q], np.asarray(tr)[:q]
 
 
@@ -468,7 +486,12 @@ def _match_chunk_sm(cloud_a, mask_a, cloud_b, mask_b, centers,
     res = params.low_res
     cells_k = params.kernel_cells(res)
     offset_lo = params.offset_cells(res)
-    patches = jax.vmap(lambda t: _im2col(t, cells_k, cells_k))(table_lo)
+    # bf16 patch storage: the [C, O, kh*kw] patches tensor is re-read
+    # every rot-chunk scan step and dominates the engine's HBM traffic
+    # (benchmarks/profile_csm_sm.py); bf16 halves it.  Accumulation in
+    # the correlation dot stays f32.
+    patches = jax.vmap(lambda t: _im2col(t, cells_k, cells_k))(
+        table_lo).astype(jnp.bfloat16)
 
     rot_step_lo = res / params.scan_range
     n_rot = max(int(np.ceil(2 * params.rotation_restriction / rot_step_lo)),
@@ -489,9 +512,10 @@ def _match_chunk_sm(cloud_a, mask_a, cloud_b, mask_b, centers,
         best, bth, boy, box = carry
         rasters = _raster_rot_batch(cloud_a, mask_a, th_chunk,
                                     params.scan_range, res, cells_k)
-        scores = jnp.einsum("brk,bok->bro",
-                            rasters.reshape(C, rot_chunk, -1), patches,
-                            precision=HIGHEST)       # [C, rc, O]
+        scores = jnp.einsum(
+            "brk,bok->bro",
+            rasters.reshape(C, rot_chunk, -1).astype(jnp.bfloat16),
+            patches, preferred_element_type=jnp.float32)  # [C, rc, O]
         flat = scores.reshape(C, -1)
         k = jnp.argmax(flat, axis=1)
         v = jnp.take_along_axis(flat, k[:, None], axis=1)[:, 0]
@@ -575,6 +599,30 @@ def csm_match_batch_sm(clouds_a, masks_a, clouds_b, masks_b,
         (shape(clouds_a), shape(masks_a), shape(clouds_b), shape(masks_b),
          shape(jnp.asarray(rotation_centers, jnp.float32))))
     return s.reshape(q), tr.reshape(q, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "pair_chunk",
+                                             "rot_chunk"))
+def _match_pairs_sm_gathered(points, masks, pair_idx, centers,
+                             params: CSMParams, pair_chunk: int = 4,
+                             rot_chunk: int = 32):
+    """Stage-major batch with the pair gathers INSIDE the program.
+
+    csm_match_pairs' production path: device-profiling showed the four
+    eager gathers (points[src], masks[src], points[tgt], masks[tgt]) each
+    pay the relay's per-dispatch floor — ~60 ms of a 123 ms batch wall
+    (benchmarks/profile_csm_sm.py).  Fusing them into the jitted program,
+    packing both index lists into one [2, G] upload, and packing
+    (score, transform) into one [G, 4] readback leaves the minimum
+    dispatch count: two uploads, one program, one readback.
+
+    pair_idx: int32 [2, G] = stacked (source, target) node indices.
+    Returns [G, 4] rows (score, tx, ty, theta)."""
+    s, tr = csm_match_batch_sm(points[pair_idx[0]], masks[pair_idx[0]],
+                               points[pair_idx[1]], masks[pair_idx[1]],
+                               params, rotation_centers=centers,
+                               pair_chunk=pair_chunk, rot_chunk=rot_chunk)
+    return jnp.concatenate([s[:, None], tr], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "inner_batch"))

@@ -151,12 +151,19 @@ class TestRefineDirect:
 
 class TestCorrelatePaths:
     def test_pallas_matmul_conv_agree(self):
-        """The three coarse-correlation implementations agree bitwise-ish."""
+        """The three coarse-correlation implementations agree bitwise-ish.
+
+        Inputs are pre-quantized to bf16 values (held in f32) because the
+        production matmul path stores its operands in bf16 (HBM-traffic
+        halving, kernels/csm.py); on identical operand values all three
+        reductions accumulate in f32 and must agree."""
         from nautilus_tpu.kernels.csm import _correlate, _correlate_matmul
         from nautilus_tpu.kernels.csm_pallas import correlate_pallas
         rng = np.random.default_rng(3)
         table = jnp.asarray(rng.normal(size=(46, 46)), jnp.float32)
         kernels = jnp.asarray(rng.normal(size=(5, 32, 32)), jnp.float32)
+        table = table.astype(jnp.bfloat16).astype(jnp.float32)
+        kernels = kernels.astype(jnp.bfloat16).astype(jnp.float32)
         a = np.asarray(_correlate_matmul(table, kernels))
         b = np.asarray(_correlate(table, kernels))
         c = np.asarray(correlate_pallas(table, kernels, interpret=True))

@@ -118,6 +118,11 @@ def test_pallas_vs_matmul_correlation_on_device():
     rng = np.random.default_rng(3)
     table = jnp.asarray(rng.normal(size=(46, 46)), jnp.float32)
     kernels = jnp.asarray(rng.normal(size=(5, 32, 32)), jnp.float32)
+    # Pre-quantize to bf16 values: the matmul path stores operands in
+    # bf16 (kernels/csm.py); identical operand values make the f32
+    # accumulations comparable at these tolerances.
+    table = table.astype(jnp.bfloat16).astype(jnp.float32)
+    kernels = kernels.astype(jnp.bfloat16).astype(jnp.float32)
     a = np.asarray(_correlate_matmul(table, kernels))
     c = np.asarray(correlate_pallas(table, kernels))
     np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-3)

@@ -71,31 +71,31 @@ def main():
     # defaults); the 12 m-range config is kept as a secondary number for
     # continuity with round 1.
     import jax
-    from nautilus_tpu.kernels.csm import (CSMParams, csm_match_batch,
-                                          csm_match_batch_sm)
+    from nautilus_tpu.kernels.csm import CSMParams, csm_match_pairs
     pts = state.problem.points
     msk = state.problem.points_mask
     n_pairs = min(64, args.nodes - 1)
     ss = np.arange(n_pairs)
     tt = ss + 1
 
-    def time_csm(params, match=csm_match_batch_sm):
-        # Best of 3: warm per-batch wall through the relay fluctuates
-        # 120-190 ms with relay load (benchmarks/csm_outer_jit_ab.py).
-        res = match(pts[ss], msk[ss], pts[tt], msk[tt], params)
-        jax.block_until_ready(res)  # warm-up/compile
+    def time_csm(params, engine="stage"):
+        # Times the PRODUCTION entry point (csm_match_pairs: pair gathers
+        # + padding + readback all inside/around one device program — the
+        # path auto-LC takes).  Best of 3: warm per-batch wall through
+        # the relay fluctuates with relay load.
+        csm_match_pairs(pts, msk, ss, tt, params, engine=engine)  # warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            res = match(pts[ss], msk[ss], pts[tt], msk[tt], params)
-            jax.block_until_ready(res)
+            csm_match_pairs(pts, msk, ss, tt, params, engine=engine)
             best = min(best, time.perf_counter() - t0)
         return n_pairs / best
 
-    # Primary metric = the production engine (stage-major, the auto-LC
-    # default); the pair-major engine is kept as a secondary number.
+    # Primary metric = the production engine (stage-major gathered, the
+    # auto-LC default); the pair-major engine is kept as a secondary
+    # number.
     scan_match_pairs_per_s = time_csm(CSMParams())          # reference cfg
-    scan_match_pairs_per_s_pm = time_csm(CSMParams(), match=csm_match_batch)
+    scan_match_pairs_per_s_pm = time_csm(CSMParams(), engine="pair")
     scan_match_pairs_per_s_12m = time_csm(CSMParams(scan_range=12.0))
 
     # --- CPU scan-match baseline (same algorithm, numpy/BLAS — parity

@@ -325,12 +325,13 @@ def csm_match_pairs(points, masks, src_idx, tgt_idx,
     (solution-implied relative headings); defaults to zero.
 
     engine: "stage" (default) = stage-major batch engine
-    (csm_match_batch_sm) — measured 2.2x the pair-major engine on TPU at
-    reference params (832 vs 373 pairs/s, batch 64, best of 5: the
-    per-pair small-op tail fuses across the pair dimension, the pair
-    gathers/readbacks collapse to one dispatch each way, and the coarse
-    patches ride HBM in bf16); "pair" = the pair-major lax.map engine.
-    Outputs agree to 1e-5 (parity-tested).
+    (csm_match_batch_sm) — measured ~2x the pair-major engine on TPU at
+    reference params (791-832 vs 373 pairs/s, batch 64, best of 5: the
+    per-pair small-op tail fuses across the pair dimension, the four
+    pair gathers collapse into one tiny device program, the outputs into
+    one packed readback, and the coarse patches ride HBM in bf16);
+    "pair" = the pair-major lax.map engine.  Outputs agree to 1e-5
+    (parity-tested).
     """
     src_idx = np.asarray(src_idx)
     tgt_idx = np.asarray(tgt_idx)
@@ -345,13 +346,17 @@ def csm_match_pairs(points, masks, src_idx, tgt_idx,
         g *= 2
     pad = np.concatenate([np.arange(q), np.zeros(g - q, np.int64)])
     if engine == "stage":
-        # Gathers ride inside the jitted program; indices packed into one
-        # upload, outputs into one readback (see _match_pairs_sm_gathered).
-        packed = np.asarray(_match_pairs_sm_gathered(
+        # Two device programs: a tiny N-dependent gather (compiles in
+        # seconds per node-count bucket) feeding the heavy N-independent
+        # stage engine, outputs packed into one readback — see
+        # _gather_pairs/_match_gathered_sm for why the gathers must NOT
+        # live inside the heavy program.
+        a, ma, b, mb = _gather_pairs(
             jnp.asarray(points), jnp.asarray(masks),
             jnp.asarray(np.stack([src_idx[pad], tgt_idx[pad]])
-                        .astype(np.int32)),
-            jnp.asarray(rotation_centers[pad]), params))
+                        .astype(np.int32)))
+        packed = np.asarray(_match_gathered_sm(
+            a, ma, b, mb, jnp.asarray(rotation_centers[pad]), params))
         return (packed[:q, 0].astype(np.float32),
                 packed[:q, 1:4].astype(np.float32))
     else:
@@ -601,26 +606,37 @@ def csm_match_batch_sm(clouds_a, masks_a, clouds_b, masks_b,
     return s.reshape(q), tr.reshape(q, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "pair_chunk",
-                                             "rot_chunk"))
-def _match_pairs_sm_gathered(points, masks, pair_idx, centers,
-                             params: CSMParams, pair_chunk: int = 4,
-                             rot_chunk: int = 32):
-    """Stage-major batch with the pair gathers INSIDE the program.
+@jax.jit
+def _gather_pairs(points, masks, pair_idx):
+    """One tiny device program for all four pair gathers.
 
     csm_match_pairs' production path: device-profiling showed the four
-    eager gathers (points[src], masks[src], points[tgt], masks[tgt]) each
-    pay the relay's per-dispatch floor — ~60 ms of a 123 ms batch wall
-    (benchmarks/profile_csm_sm.py).  Fusing them into the jitted program,
-    packing both index lists into one [2, G] upload, and packing
-    (score, transform) into one [G, 4] readback leaves the minimum
-    dispatch count: two uploads, one program, one readback.
+    EAGER gathers (points[src], masks[src], points[tgt], masks[tgt]) each
+    paying the relay's per-dispatch floor — ~60 ms of a 123 ms batch wall
+    (benchmarks/profile_csm_sm.py).  Fusing all four into one program
+    (indices packed into one [2, G] upload) pays that floor once, and the
+    [G, S, 2] outputs stay on device to feed the stage engine.
 
-    pair_idx: int32 [2, G] = stacked (source, target) node indices.
-    Returns [G, 4] rows (score, tx, ty, theta)."""
-    s, tr = csm_match_batch_sm(points[pair_idx[0]], masks[pair_idx[0]],
-                               points[pair_idx[1]], masks[pair_idx[1]],
-                               params, rotation_centers=centers,
+    Deliberately a SEPARATE program from the heavy stage-major batch: the
+    gather's shape signature depends on the full node count N, so putting
+    it inside the batch program would recompile the whole engine (minutes
+    through the relay compiler) for every node-count bucket a session
+    visits.  This program is N-dependent but trivial (seconds to
+    compile); the engine below stays N-independent."""
+    return (points[pair_idx[0]], masks[pair_idx[0]],
+            points[pair_idx[1]], masks[pair_idx[1]])
+
+
+@functools.partial(jax.jit, static_argnames=("params", "pair_chunk",
+                                             "rot_chunk"))
+def _match_gathered_sm(a, ma, b, mb, centers, params: CSMParams,
+                       pair_chunk: int = 4, rot_chunk: int = 32):
+    """Stage-major batch with (score, transform) packed into ONE [G, 4]
+    readback (two tiny device-to-host copies each pay the relay floor).
+    Shape signature depends only on (G, S, params) — node-count
+    independent, so one compile serves every problem size."""
+    s, tr = csm_match_batch_sm(a, ma, b, mb, params,
+                               rotation_centers=centers,
                                pair_chunk=pair_chunk, rot_chunk=rot_chunk)
     return jnp.concatenate([s[:, None], tr], axis=1)
 

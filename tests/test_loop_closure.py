@@ -417,6 +417,32 @@ class TestStageMajorCSM:
                                    atol=1e-5)
 
 
+class TestMatchPairsEngines:
+    def test_stage_gathered_matches_pair_engine(self):
+        """csm_match_pairs' production path (stage engine with in-jit
+        gathers + packed [G,4] readback, kernels/csm.py
+        _match_pairs_sm_gathered) returns the pair-major engine's
+        results through the same public entry point — including the
+        power-of-two padding/unpad logic (q=5 pads to 8)."""
+        from nautilus_tpu.kernels.csm import csm_match_pairs
+        state, _ = make_problem(num_nodes=12, world_kind="office",
+                                num_beams=360, seed=9)
+        pts = state.problem.points
+        msk = state.problem.points_mask
+        src = np.array([1, 2, 3, 5, 9])
+        tgt = np.array([0, 0, 1, 4, 8])
+        centers = np.asarray(
+            state.solution[src, 2] - state.solution[tgt, 2], np.float32)
+        params = CSMParams(scan_range=10.0, high_res=0.05)
+        s1, t1 = csm_match_pairs(pts, msk, src, tgt, params,
+                                 rotation_centers=centers, engine="pair")
+        s2, t2 = csm_match_pairs(pts, msk, src, tgt, params,
+                                 rotation_centers=centers, engine="stage")
+        assert s2.shape == (5,) and t2.shape == (5, 3)
+        np.testing.assert_allclose(s2, s1, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(t2, t1, atol=1e-5)
+
+
 class TestGroupedCSM:
     def test_grouped_matches_batch(self):
         from nautilus_tpu.kernels.csm import csm_match_batch, csm_match_grouped

@@ -219,6 +219,13 @@ def main():
     parity_pct = (abs(cost_tpu - cost_cpu) / cost_cpu * 100.0
                   if not args.skip_cpu else float("nan"))
 
+    # --- Map accuracy vs the synthetic world's ground truth (ATE after
+    # SE(2) alignment; utils/metrics.py).  Reported alongside speed so a
+    # perf win can never hide a quality regression.
+    from nautilus_tpu.utils.metrics import ate
+    ate_before = ate(np.asarray(x0), gt)["trans_rmse"]
+    ate_after = ate(np.asarray(x_tpu), gt)["trans_rmse"]
+
     speedup = cpu_wall / tpu_wall if not args.skip_cpu else float("nan")
     print(json.dumps({
         "metric": "gdc_scale_synth_solve_speedup_vs_cpu_ref",
@@ -231,6 +238,8 @@ def main():
         "final_cost_tpu": round(cost_tpu, 4),
         "final_cost_cpu": round(cost_cpu, 4) if cost_cpu == cost_cpu else None,
         "cost_parity_pct": round(parity_pct, 3) if parity_pct == parity_pct else None,
+        "ate_m_odometry": round(ate_before, 4),
+        "ate_m_solved": round(ate_after, 4),
         "scan_match_pairs_per_s": round(scan_match_pairs_per_s, 1),
         "scan_match_pairs_per_s_12m": round(scan_match_pairs_per_s_12m, 1),
         "scan_match_pairs_per_s_pair_major": round(scan_match_pairs_per_s_pm,

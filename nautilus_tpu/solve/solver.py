@@ -105,7 +105,8 @@ class Solver:
                  linear_solver: str = "auto",
                  use_normal_gate: bool = False,
                  per_iteration_viz: bool = False,
-                 fused_sweep: Optional[bool] = None):
+                 fused_sweep: Optional[bool] = None,
+                 staged_fused: Optional[bool] = None):
         """linear_solver: 'band' (block-band Cholesky, solve/band.py —
         the default: fastest at every scale, O(N w) memory; HITL line
         poses solve as a Schur border and long-range loop closures as a
@@ -131,6 +132,10 @@ class Solver:
         self.use_normal_gate = use_normal_gate
         self.per_iteration_viz = per_iteration_viz and visualizer is not None
         self._viz_window = None
+        # staged_fused: None = auto (split the fused sweep into a
+        # half-width early-window program at device-bound scales, see
+        # _staged_fused_plan); False disables the split.
+        self.staged_fused = staged_fused
         # fused_sweep: None = auto (fused when eligible); False forces the
         # host window loop (one SMALL compiled program reused across
         # windows — the whole-sweep fused graph can hit pathological
@@ -393,6 +398,54 @@ class Solver:
             return self._solve_slam_fused(solver_kind)
         return self._solve_slam_host_loop(optimization_type, solver_kind)
 
+    # Below this node count the sweep is dominated by the relay dispatch
+    # floor, so a staged split (one EXTRA program dispatch) would cost
+    # more than the compute it saves (benchmarks/attrib_large_n.py).
+    STAGED_FUSED_MIN_N = 1500
+
+    def _staged_fused_plan(self, w_min: int, w_max: int, use_band: bool):
+        """Window-range plan for the fused sweep:
+        [(w_lo, w_hi, pair_src, pair_tgt, layout), ...].
+
+        The delta-major pair order (correspond.make_pairs) makes the pair
+        set of windows <= w_mid a PREFIX of the full list, so the early
+        windows can run in a half-width program instead of computing the
+        full w_max-shaped association + linearization and masking most of
+        it away.  Assembly cost is ~proportional to the pair count
+        (38 ms -> ~19 ms at N=5000, benchmarks/attrib_large_n.py), and
+        the factor sets per window are IDENTICAL — the dropped pairs were
+        masked — so the staged sweep computes the same solve.
+
+        Staging requires every band-resident factor (odometry + in-band
+        LC; long-range factors are width-exempt Woodbury columns) to fit
+        |i - j| <= w_mid, and only pays off where the sweep is
+        device-bound (N >= STAGED_FUSED_MIN_N).
+        """
+        full = [(w_min, w_max, self._pair_src, self._pair_tgt,
+                 self._layout)]
+        w_mid = (w_min + w_max) // 2
+        small = self.state.num_nodes < self.STAGED_FUSED_MIN_N
+        if (self.staged_fused is False
+                or (small and self.staged_fused is not True)
+                or not use_band
+                or not (w_min <= w_mid < w_max)):
+            return full
+        oi, oj, _, _ = self.state.odometry_factors
+        max_d = (int(np.max(np.abs(np.asarray(oi) - np.asarray(oj))))
+                 if len(oi) else 0)
+        for f in self._split_lc()[0]:
+            max_d = max(max_d, abs(int(f[0]) - int(f[1])))
+        if max_d > w_mid:
+            return full
+        from nautilus_tpu.solve.factors import BandLayout
+        lay = BandLayout(self.state.num_nodes,
+                         min(w_mid, self.state.num_nodes - 1))
+        cnt = lay.offsets()[-1]
+        return [(w_min, w_mid, self._pair_src[:cnt], self._pair_tgt[:cnt],
+                 lay),
+                (w_mid + 1, w_max, self._pair_src, self._pair_tgt,
+                 self._layout)]
+
     def _solve_slam_fused(self, solver_kind: str = "band") -> SolveStats:
         cfg = self.config
         w_min = cfg.get_int("lidar_constraint_amount_min")
@@ -406,7 +459,6 @@ class Solver:
         hitl = self._hitl_factors()
         dtype = self._dtype()
         outlier = jnp.asarray(cfg.outlier_threshold, dtype)
-        t0 = time.perf_counter()
         # Closed-form Jacobians everywhere.  (History: the fused graph
         # killed the relay TPU worker at N >= 2000 when the normal-residual
         # closed form used an einsum over its size-2 contraction dim; the
@@ -414,27 +466,35 @@ class Solver:
         # removed the fault — validated fused+analytic to N=5000 on
         # device, tests/test_tpu_parity.py::test_analytic_fused_at_scale.)
         analytic = True
-        out = _fused_sweep(
-            x, problem, self._pair_src, self._pair_tgt, odom, hitl, fixed,
-            outlier, w_min, w_max, self.lm_params, self.use_normal_gate,
-            self._layout, use_band, analytic, lr)
-        # One batched host fetch (the finite flag is computed on device so
-        # the NaN guard does not cost an extra relay dispatch).
-        x_out, init_costs, final_costs, iters, finite = jax.device_get(out)
-        wall = time.perf_counter() - t0
-        if not bool(finite):
-            raise FloatingPointError(
-                "Non-finite poses after solve; check odometry/scan inputs.")
         stats = SolveStats()
-        n_windows = w_max - w_min + 1
-        per = wall / n_windows
-        for k in range(n_windows):
-            stats.windows.append(WindowStats(
-                window=w_min + k,
-                initial_cost=float(init_costs[k]),
-                final_cost=float(final_costs[k]),
-                iterations=int(iters[k]), wall_s=per))
-        self._writeback(x_out)
+        outs = []
+        for (a, b, ps, pt, lay) in self._staged_fused_plan(w_min, w_max,
+                                                           use_band):
+            t0 = time.perf_counter()
+            out = _fused_sweep(
+                x, problem, ps, pt, odom, hitl, fixed, outlier, a, b,
+                self.lm_params, self.use_normal_gate, lay, use_band,
+                analytic, lr)
+            x = out[0]          # stays device-resident across stages
+            jax.block_until_ready(x)
+            outs.append((a, b, out, time.perf_counter() - t0))
+        # One batched host fetch per stage's stats (the finite flag is
+        # computed on device so the NaN guard does not cost an extra
+        # relay dispatch); x transfers once, at writeback.
+        for a, b, out, wall in outs:
+            _, init_costs, final_costs, iters, finite = jax.device_get(out)
+            if not bool(finite):
+                raise FloatingPointError(
+                    "Non-finite poses after solve; "
+                    "check odometry/scan inputs.")
+            per = wall / (b - a + 1)
+            for k in range(b - a + 1):
+                stats.windows.append(WindowStats(
+                    window=a + k,
+                    initial_cost=float(init_costs[k]),
+                    final_cost=float(final_costs[k]),
+                    iterations=int(iters[k]), wall_s=per))
+        self._writeback(x)
         return stats
 
     def solve_max_window(self, optimization_type: str = "feature") -> SolveStats:

@@ -346,3 +346,65 @@ def test_lm_band_cr_matches_scan():
                                rtol=1e-3)
     np.testing.assert_allclose(np.asarray(r_cr.x), np.asarray(r_scan.x),
                                rtol=5e-3, atol=5e-4)
+
+
+def test_staged_fused_sweep_matches_unstaged():
+    """The staged fused sweep (early windows in a half-width program over
+    the delta-major pair PREFIX, solver._staged_fused_plan) must produce
+    the same per-window costs and solution as the single full-width
+    program: the dropped pairs were masked anyway, so the factor sets per
+    window are identical."""
+    from nautilus_tpu.core.luaconf import load_config_text
+    state, _ = make_problem(num_nodes=24, world_kind="office",
+                            num_beams=180, seed=5,
+                            odom_noise_trans=0.03, odom_noise_rot=0.01)
+    cfg = load_config_text(
+        "translation_weight=1\nrotation_weight=1\n"
+        "lidar_constraint_amount_min=1\nlidar_constraint_amount_max=4\n"
+        "outlier_threshold=0.25")
+    x0 = state.solution.copy()
+    s_full = Solver(state, cfg, fused_sweep=True, staged_fused=False)
+    st_full = s_full.solve_slam()
+    sol_full = state.solution.copy()
+
+    state.solution = x0.copy()
+    s_staged = Solver(state, cfg, fused_sweep=True, staged_fused=True)
+    plan = s_staged._staged_fused_plan(1, 4, use_band=True)
+    assert len(plan) == 2, "staging should be forced at this config"
+    assert plan[0][4].w == 2 and plan[1][4].w == 4
+    # Stage-1 pair prefix = all pairs with delta <= 2.
+    assert plan[0][2].shape[0] == (24 - 1) + (24 - 2)
+    st_staged = s_staged.solve_slam()
+
+    assert len(st_staged.windows) == len(st_full.windows) == 4
+    for wf, ws in zip(st_full.windows, st_staged.windows):
+        assert wf.window == ws.window
+        np.testing.assert_allclose(ws.initial_cost, wf.initial_cost,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(ws.final_cost, wf.final_cost, rtol=1e-5)
+    np.testing.assert_allclose(state.solution, sol_full, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_staged_fused_declined_for_wide_odom_factors():
+    """Densified odometry (deltas up to w_max, the post-HITL state) must
+    disable staging: stage 1's narrower band cannot represent those
+    factors."""
+    from nautilus_tpu.core.luaconf import load_config_text
+    state, _ = make_problem(num_nodes=20, world_kind="office",
+                            num_beams=180, seed=5)
+    cfg = load_config_text(
+        "translation_weight=1\nrotation_weight=1\n"
+        "lidar_constraint_amount_min=1\nlidar_constraint_amount_max=4\n"
+        "outlier_threshold=0.25")
+    i, j, trans, rot = state.odometry_factors
+    i = np.concatenate([np.asarray(i), [0]])
+    j = np.concatenate([np.asarray(j), [4]])
+    trans = np.concatenate([np.asarray(trans),
+                            [state.solution[4, :2] - state.solution[0, :2]]])
+    rot = np.concatenate([np.asarray(rot),
+                          [state.solution[4, 2] - state.solution[0, 2]]])
+    state.odometry_factors = (i, j, trans, rot)
+    s = Solver(state, cfg, staged_fused=True)
+    plan = s._staged_fused_plan(1, 4, use_band=True)
+    assert len(plan) == 1, "delta-4 odometry factor must refuse w_mid=2"

@@ -408,3 +408,24 @@ def test_staged_fused_declined_for_wide_odom_factors():
     s = Solver(state, cfg, staged_fused=True)
     plan = s._staged_fused_plan(1, 4, use_band=True)
     assert len(plan) == 1, "delta-4 odometry factor must refuse w_mid=2"
+
+
+def test_staged_fused_lc_width_rules():
+    """In-band LC factors wider than w_mid decline staging (stage 1's band
+    cannot hold them); LONG-RANGE LC factors (delta > w_max) do not — they
+    ride the width-exempt Woodbury columns in both stages."""
+    from nautilus_tpu.core.luaconf import load_config_text
+    state, _ = make_problem(num_nodes=20, world_kind="office",
+                            num_beams=180, seed=5)
+    cfg = load_config_text(
+        "translation_weight=1\nrotation_weight=1\n"
+        "lidar_constraint_amount_min=1\nlidar_constraint_amount_max=4\n"
+        "outlier_threshold=0.25")
+    # delta-3 LC factor: in-band for w_max=4, too wide for w_mid=2.
+    state.lc_factors.append((2, 5, np.zeros(2), 0.0, 1.0, 1.0))
+    s = Solver(state, cfg, staged_fused=True)
+    assert len(s._staged_fused_plan(1, 4, use_band=True)) == 1
+
+    state.lc_factors[:] = [(0, 15, np.zeros(2), 0.0, 1.0, 1.0)]
+    s2 = Solver(state, cfg, staged_fused=True)
+    assert len(s2._staged_fused_plan(1, 4, use_band=True)) == 2

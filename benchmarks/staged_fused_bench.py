@@ -1,6 +1,6 @@
 """A/B the staged fused sweep against the single full-width program.
 
-The staged plan (solver._staged_fused_plan) runs the early windows
+The staged plan (solver._staged_sweep_plan) runs the early windows
 (w_min..w_mid) in a half-width banded program over the delta-major pair
 PREFIX, then the late windows (w_mid+1..w_max) in the full-width program.
 Assembly cost is ~proportional to the pair count, so the early stage does
@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--nodes", type=int, default=5000)
     ap.add_argument("--beams", type=int, default=360)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--host-loop", action="store_true",
+                    help="A/B the HOST window loop (the N>6000 path) "
+                         "instead of the fused sweep")
     args = ap.parse_args()
 
     from nautilus_tpu.core.luaconf import load_config
@@ -52,13 +55,14 @@ def main():
         costs = None
         for rep in range(args.reps + 1):          # rep 0 = warm/compile
             state.solution = x0.copy()
-            s = Solver(state, cfg, fused_sweep=True, staged_fused=staged)
+            s = Solver(state, cfg, fused_sweep=not args.host_loop,
+                       staged_fused=staged)
             t0 = time.perf_counter()
             st = s.solve_slam()
             wall = time.perf_counter() - t0
             if rep == 0:
                 print(f"{label}: cold (compile) {wall:.1f}s")
-                plan = s._staged_fused_plan(
+                plan = s._staged_sweep_plan(
                     cfg.get_int("lidar_constraint_amount_min"),
                     cfg.get_int("lidar_constraint_amount_max"),
                     use_band=True)

@@ -134,7 +134,7 @@ class Solver:
         self._viz_window = None
         # staged_fused: None = auto (split the fused sweep into a
         # half-width early-window program at device-bound scales, see
-        # _staged_fused_plan); False disables the split.
+        # _staged_sweep_plan); False disables the split.
         self.staged_fused = staged_fused
         # fused_sweep: None = auto (fused when eligible); False forces the
         # host window loop (one SMALL compiled program reused across
@@ -330,8 +330,14 @@ class Solver:
 
     def build_graph(self, x, window,
                     optimization_type: str = "feature",
-                    exclude_long_range: bool = False) -> FactorGraph:
+                    exclude_long_range: bool = False,
+                    pairs=None) -> FactorGraph:
         """Factor graph at solution x for one window size.
+
+        pairs: optional (pair_src, pair_tgt) override — a staged sweep
+        passes the delta-major PREFIX that covers this window so early
+        windows associate/linearize over fewer candidate pairs
+        (_staged_sweep_plan).  Ignored by the 'all' branch.
 
         optimization_type mirrors the reference enum (solver.h:69):
         'feature' — planar matches -> normal residuals, edge matches ->
@@ -352,12 +358,14 @@ class Solver:
             empty = jax.tree.map(lambda a: a[:0], full)
             return FactorGraph(odom=odom, planar=empty, edge=full,
                                hitl=self._hitl_factors())
+        ps = self._pair_src if pairs is None else pairs[0]
+        pt = self._pair_tgt if pairs is None else pairs[1]
         planar = correspond.associate(
-            problem, x[:n], self._pair_src, self._pair_tgt,
+            problem, x[:n], ps, pt,
             window, outlier, feature="planar",
             use_normal_gate=self.use_normal_gate)
         edge = correspond.associate(
-            problem, x[:n], self._pair_src, self._pair_tgt,
+            problem, x[:n], ps, pt,
             window, outlier, feature="edge",
             use_normal_gate=self.use_normal_gate)
         return FactorGraph(odom=odom, planar=planar, edge=edge,
@@ -403,7 +411,7 @@ class Solver:
     # more than the compute it saves (benchmarks/attrib_large_n.py).
     STAGED_FUSED_MIN_N = 1500
 
-    def _staged_fused_plan(self, w_min: int, w_max: int, use_band: bool):
+    def _staged_sweep_plan(self, w_min: int, w_max: int, use_band: bool):
         """Window-range plan for the fused sweep:
         [(w_lo, w_hi, pair_src, pair_tgt, layout), ...].
 
@@ -468,7 +476,7 @@ class Solver:
         analytic = True
         stats = SolveStats()
         outs = []
-        for (a, b, ps, pt, lay) in self._staged_fused_plan(w_min, w_max,
+        for (a, b, ps, pt, lay) in self._staged_sweep_plan(w_min, w_max,
                                                            use_band):
             t0 = time.perf_counter()
             out = _fused_sweep(
@@ -543,11 +551,23 @@ class Solver:
             self.visualizer.draw_solution(self.state)
         w_min = cfg.get_int("lidar_constraint_amount_min")
         w_max = cfg.get_int("lidar_constraint_amount_max")
+        use_band_sweep = (solver_kind == "band"
+                          and not self.per_iteration_viz
+                          and optimization_type == "feature")
+        # Same staged split as the fused path: early windows associate +
+        # linearize over the half-width pair PREFIX (one extra compiled
+        # shape, reused across those windows).  plan length 1 = unstaged.
+        plan = self._staged_sweep_plan(w_min, w_max, use_band_sweep)
+        stage_of = {w: (ps, pt, lay)
+                    for (a, b, ps, pt, lay) in plan
+                    for w in range(a, b + 1)}
         for window in range(w_min, w_max + 1):
             t0 = time.perf_counter()
             use_band = solver_kind == "band" and not self.per_iteration_viz
+            ps, pt, lay = stage_of[window]
             graph = self.build_graph(x, window, optimization_type,
-                                     exclude_long_range=use_band)
+                                     exclude_long_range=use_band,
+                                     pairs=(ps, pt))
             if solver_kind == "cg":
                 from nautilus_tpu.solve.cg import lm_solve_cg
                 res: LMResult = lm_solve_cg(x, graph, fixed,
@@ -556,7 +576,7 @@ class Solver:
                 from nautilus_tpu.solve.lm import lm_solve_banded
                 res = lm_solve_banded(x, graph, fixed,
                                       params=self.lm_params,
-                                      layout=self._layout,
+                                      layout=lay,
                                       lr=self._long_range_factors())
             elif self.per_iteration_viz:
                 from nautilus_tpu.solve.lm import lm_solve_stepped

@@ -350,7 +350,7 @@ def test_lm_band_cr_matches_scan():
 
 def test_staged_fused_sweep_matches_unstaged():
     """The staged fused sweep (early windows in a half-width program over
-    the delta-major pair PREFIX, solver._staged_fused_plan) must produce
+    the delta-major pair PREFIX, solver._staged_sweep_plan) must produce
     the same per-window costs and solution as the single full-width
     program: the dropped pairs were masked anyway, so the factor sets per
     window are identical."""
@@ -369,7 +369,7 @@ def test_staged_fused_sweep_matches_unstaged():
 
     state.solution = x0.copy()
     s_staged = Solver(state, cfg, fused_sweep=True, staged_fused=True)
-    plan = s_staged._staged_fused_plan(1, 4, use_band=True)
+    plan = s_staged._staged_sweep_plan(1, 4, use_band=True)
     assert len(plan) == 2, "staging should be forced at this config"
     assert plan[0][4].w == 2 and plan[1][4].w == 4
     # Stage-1 pair prefix = all pairs with delta <= 2.
@@ -381,6 +381,34 @@ def test_staged_fused_sweep_matches_unstaged():
         assert wf.window == ws.window
         np.testing.assert_allclose(ws.initial_cost, wf.initial_cost,
                                    rtol=1e-5)
+        np.testing.assert_allclose(ws.final_cost, wf.final_cost, rtol=1e-5)
+    np.testing.assert_allclose(state.solution, sol_full, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_staged_host_loop_matches_unstaged():
+    """The HOST window loop honors the same staged plan (early windows
+    associate over the half-width pair prefix with the narrow layout) and
+    must match the unstaged host loop window for window."""
+    from nautilus_tpu.core.luaconf import load_config_text
+    state, _ = make_problem(num_nodes=24, world_kind="office",
+                            num_beams=180, seed=5,
+                            odom_noise_trans=0.03, odom_noise_rot=0.01)
+    cfg = load_config_text(
+        "translation_weight=1\nrotation_weight=1\n"
+        "lidar_constraint_amount_min=1\nlidar_constraint_amount_max=4\n"
+        "outlier_threshold=0.25")
+    x0 = state.solution.copy()
+    s_full = Solver(state, cfg, fused_sweep=False, staged_fused=False)
+    st_full = s_full.solve_slam()
+    sol_full = state.solution.copy()
+
+    state.solution = x0.copy()
+    s_staged = Solver(state, cfg, fused_sweep=False, staged_fused=True)
+    st_staged = s_staged.solve_slam()
+    assert len(st_staged.windows) == len(st_full.windows) == 4
+    for wf, ws in zip(st_full.windows, st_staged.windows):
+        assert wf.window == ws.window
         np.testing.assert_allclose(ws.final_cost, wf.final_cost, rtol=1e-5)
     np.testing.assert_allclose(state.solution, sol_full, rtol=1e-4,
                                atol=1e-5)
@@ -406,7 +434,7 @@ def test_staged_fused_declined_for_wide_odom_factors():
                           [state.solution[4, 2] - state.solution[0, 2]]])
     state.odometry_factors = (i, j, trans, rot)
     s = Solver(state, cfg, staged_fused=True)
-    plan = s._staged_fused_plan(1, 4, use_band=True)
+    plan = s._staged_sweep_plan(1, 4, use_band=True)
     assert len(plan) == 1, "delta-4 odometry factor must refuse w_mid=2"
 
 
@@ -424,8 +452,8 @@ def test_staged_fused_lc_width_rules():
     # delta-3 LC factor: in-band for w_max=4, too wide for w_mid=2.
     state.lc_factors.append((2, 5, np.zeros(2), 0.0, 1.0, 1.0))
     s = Solver(state, cfg, staged_fused=True)
-    assert len(s._staged_fused_plan(1, 4, use_band=True)) == 1
+    assert len(s._staged_sweep_plan(1, 4, use_band=True)) == 1
 
     state.lc_factors[:] = [(0, 15, np.zeros(2), 0.0, 1.0, 1.0)]
     s2 = Solver(state, cfg, staged_fused=True)
-    assert len(s2._staged_fused_plan(1, 4, use_band=True)) == 2
+    assert len(s2._staged_sweep_plan(1, 4, use_band=True)) == 2

@@ -290,6 +290,133 @@ _ANALYTIC = {
 }
 
 
+# -- moment-form accumulation -------------------------------------------------
+#
+# The correspondence Jacobian A = dp_t/d(pose_s, pose_t) [Q, S, 2, 6] has
+# only TWO point-dependent columns: col 2 (a3 = R_t^T R'(th_s) p) and
+# col 5 (a6 = [p_t.y, -p_t.x]); cols 0/1/3/4 are per-pair rotation
+# constants (+-R_t^T e_x/e_y).  So J^T J and J^T r collapse to a handful
+# of per-point scalar REDUCTIONS over S ("moments") — the [Q, 2S, 6]
+# Jacobian tensor never exists.  On TPU this converts the HBM-bound
+# materialize-J-then-einsum assembly (benchmarks/LARGE_N.md attribution:
+# 38 ms of the 69 ms iteration at N=5000) into fused VPU multiply-adds.
+# Exactness vs the J-form is pinned in tests/test_solver.py.
+
+
+def _pt_geometry(pose_s, pose_t, src_pts):
+    """Shared per-point geometry: transformed points and the two
+    point-dependent Jacobian columns (a3, a6) of _pt_and_jacobian."""
+    c_s, s_s = jnp.cos(pose_s[:, 2])[:, None], jnp.sin(pose_s[:, 2])[:, None]
+    c_t, s_t = jnp.cos(pose_t[:, 2])[:, None], jnp.sin(pose_t[:, 2])[:, None]
+    px, py = src_pts[..., 0], src_pts[..., 1]                 # [Q, S]
+    wx = c_s * px - s_s * py + pose_s[:, 0:1]
+    wy = s_s * px + c_s * py + pose_s[:, 1:2]
+    dx, dy = wx - pose_t[:, 0:1], wy - pose_t[:, 1:2]
+    ptx = c_t * dx + s_t * dy
+    pty = -s_t * dx + c_t * dy
+    rpx = -s_s * px - c_s * py          # R'(th_s) p
+    rpy = c_s * px - s_s * py
+    a3x = c_t * rpx + s_t * rpy
+    a3y = -s_t * rpx + c_t * rpy
+    return ptx, pty, a3x, a3y, c_t, s_t
+
+
+def _sym6(entries):
+    """[Q, 6, 6] from the upper-triangle dict {(i, j): [Q]}."""
+    q = entries[(0, 0)].shape[0]
+    rows = []
+    for i in range(6):
+        cols = [entries[(min(i, j), max(i, j))] for j in range(6)]
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2).reshape(q, 6, 6)
+
+
+def _moments_point(pose_s, pose_t, src_pts, tgt_pts, mask):
+    """(Hq [Q,6,6], gq [Q,6], cost) of point_residual via moments."""
+    ptx, pty, a3x, a3y, c_t, s_t = _pt_geometry(pose_s, pose_t, src_pts)
+    m = mask.astype(pose_s.dtype)
+    a6x, a6y = pty, -ptx
+    rx = (tgt_pts[..., 0] - ptx) * m    # residual r = (tgt - p_t) m
+    ry = (tgt_pts[..., 1] - pty) * m
+    red = lambda t: jnp.sum(t, axis=-1)
+    M0 = red(m)
+    S3x, S3y = red(m * a3x), red(m * a3y)
+    S6x, S6y = red(m * a6x), red(m * a6y)
+    s33 = red(m * (a3x * a3x + a3y * a3y))
+    s36 = red(m * (a3x * a6x + a3y * a6y))
+    s66 = red(m * (a6x * a6x + a6y * a6y))
+    Srx, Sry = red(rx), red(ry)
+    g3r = red(a3x * rx + a3y * ry)
+    g6r = red(a6x * rx + a6y * ry)
+    cost = 0.5 * jnp.sum(rx * rx + ry * ry)
+    # a1 = R_t^T e_x = [c_t, -s_t]; a2 = R_t^T e_y = [s_t, c_t]  (per pair)
+    ct, st = c_t[:, 0], s_t[:, 0]
+    h13 = ct * S3x - st * S3y
+    h23 = st * S3x + ct * S3y
+    h16 = ct * S6x - st * S6y
+    h26 = st * S6x + ct * S6y
+    z = jnp.zeros_like(M0)
+    Hq = _sym6({(0, 0): M0, (0, 1): z, (0, 2): h13, (0, 3): -M0,
+                (0, 4): z, (0, 5): h16,
+                (1, 1): M0, (1, 2): h23, (1, 3): z, (1, 4): -M0,
+                (1, 5): h26,
+                (2, 2): s33, (2, 3): -h13, (2, 4): -h23, (2, 5): s36,
+                (3, 3): M0, (3, 4): z, (3, 5): -h16,
+                (4, 4): M0, (4, 5): -h26,
+                (5, 5): s66})
+    # g = J^T r with J = -A m:
+    g1 = -(ct * Srx - st * Sry)
+    g2 = -(st * Srx + ct * Sry)
+    gq = jnp.stack([g1, g2, -g3r, -g1, -g2, -g6r], axis=-1)
+    return Hq, gq, cost
+
+
+def _moments_normal(pose_s, pose_t, src_pts, tgt_pts, src_nrm, tgt_nrm,
+                    mask):
+    """(Hq, gq, cost) of normal_residual via moments.
+
+    Each point contributes two residual rows (target and source normal);
+    a row n^T A has the pattern [u, v, w, -u, -v, z] with u = n.a1,
+    v = n.a2, w = n.a3, z = n.a6 — the source row's extra -1 sign cancels
+    in both J^T J and J^T r."""
+    ptx, pty, a3x, a3y, c_t, s_t = _pt_geometry(pose_s, pose_t, src_pts)
+    m = mask.astype(pose_s.dtype)
+    dx = ptx - tgt_pts[..., 0]          # diff = p_t - tgt
+    dy = pty - tgt_pts[..., 1]
+    sums = None
+    for nrm in (tgt_nrm, src_nrm):
+        nx, ny = nrm[..., 0], nrm[..., 1]
+        u = nx * c_t - ny * s_t         # n . a1
+        v = nx * s_t + ny * c_t         # n . a2
+        w = nx * a3x + ny * a3y         # n . a3
+        zc = nx * pty - ny * ptx        # n . a6
+        rr = (nx * dx + ny * dy) * m    # masked residual magnitude
+        terms = [m * u * u, m * u * v, m * u * w, m * u * zc,
+                 m * v * v, m * v * w, m * v * zc,
+                 m * w * w, m * w * zc, m * zc * zc,
+                 u * rr, v * rr, w * rr, zc * rr, rr * rr]
+        part = [jnp.sum(t, axis=-1) for t in terms]
+        sums = part if sums is None else [a + b for a, b in zip(sums, part)]
+    (uu, uv, uw, uz, vv, vw, vz, ww, wz, zz,
+     ur, vr, wr, zr, rr2) = sums
+    Hq = _sym6({(0, 0): uu, (0, 1): uv, (0, 2): uw, (0, 3): -uu,
+                (0, 4): -uv, (0, 5): uz,
+                (1, 1): vv, (1, 2): vw, (1, 3): -uv, (1, 4): -vv,
+                (1, 5): vz,
+                (2, 2): ww, (2, 3): -uw, (2, 4): -vw, (2, 5): wz,
+                (3, 3): uu, (3, 4): uv, (3, 5): -uz,
+                (4, 4): vv, (4, 5): -vz,
+                (5, 5): zz})
+    gq = jnp.stack([ur, vr, wr, -ur, -vr, zr], axis=-1)
+    return Hq, gq, 0.5 * jnp.sum(rr2)
+
+
+_MOMENTS = {
+    point_residual: _moments_point,
+    normal_residual: _moments_normal,
+}
+
+
 def linearize_two_pose(x, idx_a, idx_b, item_fn, data, analytic=True):
     """Residuals + Jacobians of a batch of two-pose factors.
 
@@ -451,13 +578,17 @@ class BandLayout(NamedTuple):
         return offs
 
 
-def _accumulate_banded(x, specs, layout: BandLayout, analytic: bool = True):
+def _accumulate_banded(x, specs, layout: BandLayout, analytic=True):
     """Linearize + accumulate correspondence factor blocks in band form.
 
     specs: (idx_a, idx_b, residual_fn, data) tuples (corr_factor_specs).
     Returns (diag [n,3,3], band list of w [n,3,3] arrays where band[d-1]
     holds block (i, i-d) stored at row i, gdiag [n,3], cost).  All adds
     are contiguous pads — no scatter.
+
+    analytic: True = closed-form J + einsum J^T J; False = jacfwd;
+    "moments" = moment-form accumulation (_MOMENTS) that never
+    materializes J — same algebra, least HBM traffic.
 
     Types are linearized ONE AT A TIME with an optimization barrier
     threading x between them: the next type's Jacobian ops depend on the
@@ -474,13 +605,20 @@ def _accumulate_banded(x, specs, layout: BandLayout, analytic: bool = True):
     gd = jnp.zeros((n, 3), dtype)
     cost = jnp.zeros((), dtype)
     for k, (a, b, fn, data) in enumerate(specs):
-        term = linearize_two_pose(x, a, b, fn, data, analytic)
-        if term is None:
-            continue
-        r, J, _dof = term
-        cost = cost + 0.5 * jnp.sum(r * r)
-        gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)    # [Q, 6]
-        Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)  # [Q, 6, 6]
+        mom = _MOMENTS.get(fn) if analytic == "moments" else None
+        if mom is not None:
+            if a.shape[0] == 0:
+                continue
+            Hq, gq, c = mom(x[a], x[b], *data)
+            cost = cost + c
+        else:
+            term = linearize_two_pose(x, a, b, fn, data, bool(analytic))
+            if term is None:
+                continue
+            r, J, _dof = term
+            cost = cost + 0.5 * jnp.sum(r * r)
+            gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)
+            Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)
         for d in range(1, w + 1):
             cnt = n - d
             if cnt <= 0:
@@ -608,7 +746,7 @@ def lowrank_factor_columns(x, lr: "OdomFactors", n: int, analytic=True):
 
 
 def assemble_banded_system(x, graph: FactorGraph, layout: BandLayout,
-                           analytic: bool = True, lr: "OdomFactors" = None):
+                           analytic=True, lr: "OdomFactors" = None):
     """Assemble normal equations directly in block-band(+border) form.
 
     Returns (solve.band.BandedSystem, cost).  Identical algebra to

@@ -106,7 +106,8 @@ class Solver:
                  use_normal_gate: bool = False,
                  per_iteration_viz: bool = False,
                  fused_sweep: Optional[bool] = None,
-                 staged_fused: Optional[bool] = None):
+                 staged_fused: Optional[bool] = None,
+                 assembly: Optional[str] = None):
         """linear_solver: 'band' (block-band Cholesky, solve/band.py —
         the default: fastest at every scale, O(N w) memory; HITL line
         poses solve as a Schur border and long-range loop closures as a
@@ -136,6 +137,12 @@ class Solver:
         # half-width early-window program at device-bound scales, see
         # _staged_sweep_plan); False disables the split.
         self.staged_fused = staged_fused
+        # assembly: None = auto, 'moments' = moment-form banded assembly
+        # (J^T J / J^T r from per-point scalar reductions, J never
+        # materialized — factors._MOMENTS), 'jacobian' = closed-form J +
+        # einsum.  Auto currently means 'jacobian' pending device
+        # validation of the moment path at scale.
+        self.assembly = assembly
         # fused_sweep: None = auto (fused when eligible); False forces the
         # host window loop (one SMALL compiled program reused across
         # windows — the whole-sweep fused graph can hit pathological
@@ -411,6 +418,18 @@ class Solver:
     # more than the compute it saves (benchmarks/attrib_large_n.py).
     STAGED_FUSED_MIN_N = 1500
 
+    def _analytic_mode(self):
+        """Linearization form for banded assembly: 'moments' (J^T J and
+        J^T r from per-point scalar reductions, J never materialized),
+        True (closed-form J + einsum), or jacfwd via False.  Auto
+        currently resolves to the J form pending device validation of
+        the moment path at scale (benchmarks/attrib_large_n.py)."""
+        if self.assembly == "moments":
+            return "moments"
+        if self.assembly == "jacobian":
+            return True
+        return True
+
     def _staged_sweep_plan(self, w_min: int, w_max: int, use_band: bool):
         """Window-range plan for the fused sweep:
         [(w_lo, w_hi, pair_src, pair_tgt, layout), ...].
@@ -473,7 +492,7 @@ class Solver:
         # elementwise formulation in factors._linearize_normal_analytic
         # removed the fault — validated fused+analytic to N=5000 on
         # device, tests/test_tpu_parity.py::test_analytic_fused_at_scale.)
-        analytic = True
+        analytic = self._analytic_mode()
         stats = SolveStats()
         outs = []
         for (a, b, ps, pt, lay) in self._staged_sweep_plan(w_min, w_max,
@@ -577,6 +596,7 @@ class Solver:
                 res = lm_solve_banded(x, graph, fixed,
                                       params=self.lm_params,
                                       layout=lay,
+                                      analytic=self._analytic_mode(),
                                       lr=self._long_range_factors())
             elif self.per_iteration_viz:
                 from nautilus_tpu.solve.lm import lm_solve_stepped

@@ -407,3 +407,55 @@ class TestAnalyticJacobians:
                                           np.asarray(slow[2]))
             checked += 1
         assert checked >= 3   # odom + planar + edge at minimum
+
+    def test_moments_match_jacobian_form(self):
+        """Moment-form per-factor blocks (factors._MOMENTS: J^T J / J^T r
+        from per-point scalar reductions, J never materialized) == the
+        J-form einsums, for both correspondence residual types."""
+        import jax.numpy as jnp
+        from nautilus_tpu.solve.factors import (_MOMENTS, HIGHEST,
+                                                corr_factor_specs,
+                                                linearize_two_pose)
+        state, _ = make_problem(num_nodes=7, world_kind="room",
+                                num_beams=240, seed=13,
+                                odom_noise_trans=0.04, odom_noise_rot=0.02)
+        cfg = load_config_text(DEFAULTS)
+        solver = Solver(state, cfg)
+        x = solver._current_x()
+        graph = solver.build_graph(x, window=3)
+        checked = 0
+        for (a, b, fn, data) in corr_factor_specs(graph):
+            mom = _MOMENTS[fn]
+            Hq, gq, cost = mom(x[a], x[b], *data)
+            r, J, _ = linearize_two_pose(x, a, b, fn, data)
+            Hq_ref = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)
+            gq_ref = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)
+            np.testing.assert_allclose(np.asarray(Hq), np.asarray(Hq_ref),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(float(cost),
+                                       float(0.5 * jnp.sum(r * r)),
+                                       rtol=1e-5)
+            checked += 1
+        assert checked == 2   # planar (normal) + edge (point)
+
+    def test_moments_full_solve_matches(self):
+        """End-to-end sweep with assembly='moments' lands on the same map
+        as the J-form assembly (both sweep lanes)."""
+        state, _ = make_problem(num_nodes=12, world_kind="room",
+                                num_beams=240, seed=7,
+                                odom_noise_trans=0.03, odom_noise_rot=0.01)
+        cfg = load_config_text(DEFAULTS)
+        x0 = state.solution.copy()
+        s_j = Solver(state, cfg, assembly="jacobian")
+        st_j = s_j.solve_slam()
+        sol_j = state.solution.copy()
+        for fused in (True, False):
+            state.solution = x0.copy()
+            s_m = Solver(state, cfg, assembly="moments", fused_sweep=fused)
+            st_m = s_m.solve_slam()
+            np.testing.assert_allclose(st_m.final_cost, st_j.final_cost,
+                                       rtol=1e-4)
+            np.testing.assert_allclose(state.solution, sol_j, rtol=5e-4,
+                                       atol=5e-5)

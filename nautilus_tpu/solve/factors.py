@@ -647,14 +647,24 @@ def _scatter_band_factor(lv, gd, cost, x, idx_a, idx_b, item_fn, data,
     Order-independent (unlike the contiguous pad+add fast path) — used for
     irregular factor lists and for shard-local slices of the pair list in
     the factor-sharded multi-chip path.  Requires |idx_a - idx_b| <= w.
+    analytic="moments" uses the moment-form blocks (_MOMENTS) for types
+    that have them.
     """
-    term = linearize_two_pose(x, idx_a, idx_b, item_fn, data, analytic)
-    if term is None:
-        return lv, gd, cost
-    r, J, _dof = term
-    cost = cost + 0.5 * jnp.sum(r * r)
-    gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)
-    Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)
+    mom = _MOMENTS.get(item_fn) if analytic == "moments" else None
+    if mom is not None:
+        if idx_a.shape[0] == 0:
+            return lv, gd, cost
+        Hq, gq, c = mom(x[idx_a], x[idx_b], *data)
+        cost = cost + c
+    else:
+        term = linearize_two_pose(x, idx_a, idx_b, item_fn, data,
+                                  bool(analytic))
+        if term is None:
+            return lv, gd, cost
+        r, J, _dof = term
+        cost = cost + 0.5 * jnp.sum(r * r)
+        gq = jnp.einsum("qmi,qm->qi", J, r, precision=HIGHEST)
+        Hq = jnp.einsum("qmi,qmj->qij", J, J, precision=HIGHEST)
     a, b = idx_a, idx_b
     lo = jnp.maximum(a, b)
     delta = jnp.abs(a - b)
@@ -691,7 +701,8 @@ def _hitl_border(lv, gd, cost, x, graph: FactorGraph, n: int, L: int):
     return lv, gd, cost, C, E, gl
 
 
-def assemble_banded_scatter(x, graph: FactorGraph, n: int, w: int):
+def assemble_banded_scatter(x, graph: FactorGraph, n: int, w: int,
+                            analytic=True):
     """Band-form assembly for ARBITRARY factor order (scatter into band).
 
     The multi-chip factor-sharded path hands each device an arbitrary
@@ -712,7 +723,7 @@ def assemble_banded_scatter(x, graph: FactorGraph, n: int, w: int):
     for idx_a, idx_b, fn, data in corr_factor_specs(graph) \
             + [odom_factor_spec(graph)]:
         lv, gd, cost = _scatter_band_factor(lv, gd, cost, x, idx_a, idx_b,
-                                            fn, data)
+                                            fn, data, analytic=analytic)
     C = E = gl = None
     if L:
         lv, gd, cost, C, E, gl = _hitl_border(lv, gd, cost, x, graph, n, L)

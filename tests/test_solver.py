@@ -440,6 +440,31 @@ class TestAnalyticJacobians:
             checked += 1
         assert checked == 2   # planar (normal) + edge (point)
 
+    def test_moments_scatter_band_matches(self):
+        """The order-independent scatter assembly (multi-chip shards) with
+        analytic='moments' == the J-form scatter."""
+        from nautilus_tpu.solve.factors import assemble_banded_scatter
+        state, _ = make_problem(num_nodes=9, world_kind="room",
+                                num_beams=240, seed=3)
+        cfg = load_config_text(DEFAULTS)
+        solver = Solver(state, cfg)
+        x = solver._current_x()
+        graph = solver.build_graph(x, window=3)
+        n, w = state.num_nodes, 3
+        sys_j, c_j = assemble_banded_scatter(x, graph, n, w)
+        sys_m, c_m = assemble_banded_scatter(x, graph, n, w,
+                                             analytic="moments")
+        np.testing.assert_allclose(float(c_m), float(c_j), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sys_m.diag),
+                                   np.asarray(sys_j.diag),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sys_m.band),
+                                   np.asarray(sys_j.band),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sys_m.g),
+                                   np.asarray(sys_j.g),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_moments_full_solve_matches(self):
         """End-to-end sweep with assembly='moments' lands on the same map
         as the J-form assembly (both sweep lanes)."""

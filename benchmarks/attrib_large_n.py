@@ -73,6 +73,20 @@ def main():
     print(f"assembly compile+run: {time.perf_counter()-t0:.1f}s")
     t_asm = timeit(lambda: asm(x))
 
+    # Moment-form assembly (factors._MOMENTS): same algebra, J never
+    # materialized — the HBM-traffic fix for the number above.
+    asm_m = jax.jit(lambda xx: assemble_banded_system(
+        xx, graph, layout, "moments"))
+    t0 = time.perf_counter()
+    sys_m, cost_m = jax.block_until_ready(asm_m(x))
+    print(f"moments assembly compile+run: {time.perf_counter()-t0:.1f}s")
+    t_asm_m = timeit(lambda: asm_m(x))
+    import numpy as _np
+    drift = float(jnp.max(jnp.abs(sys_m.diag - sys_.diag))
+                  / (jnp.max(jnp.abs(sys_.diag)) + 1e-30))
+    print(f"assembly: J-form {t_asm*1e3:.1f} ms  moments {t_asm_m*1e3:.1f} ms"
+          f"  ({t_asm/t_asm_m:.2f}x)  diag drift {drift:.2e}")
+
     radius = jnp.asarray(1e4, x.dtype)
     slv = jax.jit(lambda s: solve_damped_banded(s, fixed, radius,
                                                 solver.lm_params))

@@ -545,6 +545,7 @@ class Solver:
             from nautilus_tpu.solve.lm import lm_solve_banded
             res = lm_solve_banded(x, graph, fixed, params=self.lm_params,
                                   layout=self._layout,
+                                  analytic=self._analytic_mode(),
                                   lr=self._long_range_factors())
         else:
             res = lm_solve(x, graph, fixed, params=self.lm_params,

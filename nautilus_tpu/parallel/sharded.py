@@ -143,7 +143,7 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
                   outlier, w_min: int, w_max: int, mesh: Mesh,
                   lm_params: LMParams = LMParams(),
                   use_normal_gate: bool = False,
-                  use_band: bool = False, lr=None):
+                  use_band: bool = False, lr=None, analytic=True):
     """The full OptimizeOverGrowingWindow, multi-chip.
 
     Everything per-factor is sharded over the 'factors' mesh axis:
@@ -250,7 +250,8 @@ def sharded_sweep(x, problem, pair_src, pair_tgt, odom, hitl, fixed_dof,
 
         def assemble_psum_banded(graph):
             def f(xx):
-                sys, cost = assemble_banded_scatter(xx, graph, n, w_band)
+                sys, cost = assemble_banded_scatter(xx, graph, n, w_band,
+                                                    analytic=analytic)
                 if lr_l is not None:
                     # Each shard linearizes its slice of the long-range
                     # closures into DISJOINT global columns of U (offset =

@@ -178,6 +178,41 @@ def test_sharded_sweep_banded_matches_fused(setup):
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-2)
 
 
+def test_sharded_sweep_banded_moments_matches_fused(setup):
+    """Band-form multi-chip sweep with moment-form shard assembly
+    (analytic='moments': J never materialized per shard) equals the
+    single-device fused band sweep."""
+    from nautilus_tpu.core.luaconf import load_config_text
+    from nautilus_tpu.ingest.synthetic import make_problem
+    from nautilus_tpu.parallel.sharded import sharded_sweep
+    from nautilus_tpu.solve.factors import empty_hitl
+    from nautilus_tpu.solve.solver import Solver, _fused_sweep
+
+    state, _ = make_problem(num_nodes=10, world_kind="room", num_beams=360,
+                            seed=4, odom_noise_trans=0.02,
+                            odom_noise_rot=0.01)
+    cfg = load_config_text(CFG)
+    solver = Solver(state, cfg)
+    x = solver._current_x()
+    fixed = solver._fixed_mask()
+    odom = solver._odom_factors()
+    hitl = empty_hitl(solver._dtype())
+    outlier = jnp.asarray(0.25, x.dtype)
+
+    x1, ic1, fc1, it1, _finite = _fused_sweep(
+        x, state.problem, solver._pair_src, solver._pair_tgt, odom, hitl,
+        fixed, outlier, 1, 3, solver.lm_params, False, solver._layout, True)
+
+    mesh = default_mesh(8)
+    x2, ic2, fc2, it2 = sharded_sweep(
+        x, state.problem, solver._pair_src, solver._pair_tgt, odom, hitl,
+        fixed, outlier, 1, 3, mesh, solver.lm_params, use_band=True,
+        analytic="moments")
+
+    np.testing.assert_allclose(np.asarray(fc2), np.asarray(fc1), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-2)
+
+
 def test_sharded_sweep_banded_with_lr_matches_fused(setup):
     """Applied long-range loop closures shard as disjoint Woodbury U
     columns: the band multi-chip sweep equals the single-device fused

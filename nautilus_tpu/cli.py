@@ -121,7 +121,8 @@ def main(argv=None) -> int:
             print("--ros requested but rospy is not importable.")
             return 1
     solver = Solver(state, cfg, visualizer=visualizer,
-                    linear_solver=cfg.get("linear_solver", "auto"))
+                    linear_solver=cfg.get("linear_solver", "auto"),
+                    assembly=cfg.get("assembly", None) or None)
     t0 = time.perf_counter()
     stats = solver.solve_slam()
     if verbose:

@@ -476,9 +476,10 @@ class TestAnalyticJacobians:
         s_j = Solver(state, cfg, assembly="jacobian")
         st_j = s_j.solve_slam()
         sol_j = state.solution.copy()
-        for fused in (True, False):
+        for fused, staged in ((True, False), (False, False), (True, True)):
             state.solution = x0.copy()
-            s_m = Solver(state, cfg, assembly="moments", fused_sweep=fused)
+            s_m = Solver(state, cfg, assembly="moments", fused_sweep=fused,
+                         staged_fused=staged)
             st_m = s_m.solve_slam()
             np.testing.assert_allclose(st_m.final_cost, st_j.final_cost,
                                        rtol=1e-4)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import bz2
 import dataclasses
+import itertools
 import struct
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Tuple
@@ -235,12 +236,26 @@ def read_bag(path, topics: Optional[List[str]] = None) -> Iterator[BagMessage]:
 
     Two passes: scan every record (registering all connections and
     decompressing chunks) collecting raw message payloads, sort by
-    (time, arrival), then decode lazily in sorted order."""
+    (time, arrival), then decode lazily in sorted order.
+
+    Peak memory is bounded to the REQUESTED topics: payloads on topics
+    filtered out (or with no decoder) are dropped at collect time, as
+    soon as their connection is known — a bag's chunks carry connection
+    records ahead of their messages, so in practice nothing undecodable
+    is ever buffered.  Messages arriving before their connection record
+    (malformed but tolerated) are deferred and re-filtered at yield
+    time."""
     buf = Path(path).read_bytes()
     if not buf.startswith(BAG_MAGIC):
         raise ValueError(f"{path} is not a ROS bag v2.0 file")
     connections: Dict[int, Tuple[str, str]] = {}
     pending: List[Tuple[float, int, int, bytes]] = []
+    arrival = itertools.count()
+
+    def _wanted(conn: int) -> bool:
+        topic, mtype = connections[conn]
+        return ((topics is None or topic in topics)
+                and mtype in _DECODERS)
 
     def collect(header: Dict[bytes, bytes], data: bytes):
         op = header[b"op"][0]
@@ -253,7 +268,10 @@ def read_bag(path, topics: Optional[List[str]] = None) -> Iterator[BagMessage]:
         elif op == OP_MSG_DATA:
             conn = struct.unpack("<I", header[b"conn"])[0]
             sec, nsec = struct.unpack("<II", header[b"time"])
-            pending.append((sec + nsec * 1e-9, len(pending), conn, data))
+            order = next(arrival)
+            if conn in connections and not _wanted(conn):
+                return
+            pending.append((sec + nsec * 1e-9, order, conn, data))
 
     for header, data in _iter_records(buf, len(BAG_MAGIC)):
         op = header[b"op"][0]

@@ -64,6 +64,14 @@ class CSMParams(NamedTuple):
     # Gaussian (sigma ~6 cm) makes anything beyond the first few neighbors
     # irrelevant; 32 leaves a wide margin for dense walls.
     fine_k: int = 32
+    # Precision escape hatch for the coarse correlation operands
+    # (log-odds patches + raster point counts).  Default bf16 halves the
+    # stage's HBM traffic and was argmax-parity-verified on the benchmark
+    # distribution, but raster counts are only exact in bf16 up to 256
+    # per cell and near-tie scores can round across the argmax; set True
+    # to keep both operands f32 for symmetric/degenerate scans
+    # (accumulation is f32 either way).
+    coarse_f32: bool = False
 
     @property
     def table_halfwidth(self) -> float:
@@ -135,7 +143,7 @@ def _correlate(table, kernels):
     return out[0]                                # [R, OH, OW]
 
 
-def _correlate_matmul(table, kernels):
+def _correlate_matmul(table, kernels, operand_dtype=jnp.bfloat16):
     """Same contract as _correlate, as an im2col matmul.
 
     The offset grid is tiny (~15x15) and the table fits VMEM, so unrolled
@@ -152,9 +160,10 @@ def _correlate_matmul(table, kernels):
     # engine's HBM-traffic hot spot and the coarse stage only has to get
     # the argmax cell right (the fine stages rescore continuously);
     # argmax parity vs f32 verified in benchmarks/csm_coarse_probe.py
-    # and the stage-vs-pair engine parity tests.
-    scores = jax.lax.dot(kernels.reshape(r, -1).astype(jnp.bfloat16),
-                         patches.astype(jnp.bfloat16),
+    # and the stage-vs-pair engine parity tests.  CSMParams.coarse_f32
+    # switches operand_dtype to f32 for out-of-distribution scans.
+    scores = jax.lax.dot(kernels.reshape(r, -1).astype(operand_dtype),
+                         patches.astype(operand_dtype),
                          preferred_element_type=jnp.float32)
     return scores.reshape(r, oh, ow)
 
@@ -164,7 +173,8 @@ def _on_tpu() -> bool:
 
 
 def _search_stage(table_log, src_points, src_mask, thetas, res,
-                  scan_range, trans_range, use_pallas=False):
+                  scan_range, trans_range, use_pallas=False,
+                  operand_dtype=jnp.bfloat16):
     """Score the full (theta x translation) grid at one resolution.
 
     Geometry: the table spans [-hw, hw] with hw = scan_range + trans_range;
@@ -182,7 +192,7 @@ def _search_stage(table_log, src_points, src_mask, thetas, res,
         from nautilus_tpu.kernels.csm_pallas import correlate_pallas
         scores = correlate_pallas(table_log, rasters)
     else:
-        scores = _correlate_matmul(table_log, rasters)
+        scores = _correlate_matmul(table_log, rasters, operand_dtype)
     return scores
 
 
@@ -239,7 +249,9 @@ def csm_match_to_tables(tables, cloud_a, mask_a,
     offset_lo = params.offset_cells(params.low_res)
     scores_lo = _search_stage(table_lo, cloud_a, mask_a, thetas_lo,
                               params.low_res, params.scan_range,
-                              params.trans_range, params.use_pallas)
+                              params.trans_range, params.use_pallas,
+                              jnp.float32 if params.coarse_f32
+                              else jnp.bfloat16)
     r0, oy0, ox0 = _argmax3(scores_lo)
     theta0 = thetas_lo[r0]
     ty0 = (oy0 - offset_lo).astype(jnp.float32) * params.low_res
@@ -494,9 +506,11 @@ def _match_chunk_sm(cloud_a, mask_a, cloud_b, mask_b, centers,
     # bf16 patch storage: the [C, O, kh*kw] patches tensor is re-read
     # every rot-chunk scan step and dominates the engine's HBM traffic
     # (benchmarks/profile_csm_sm.py); bf16 halves it.  Accumulation in
-    # the correlation dot stays f32.
+    # the correlation dot stays f32.  CSMParams.coarse_f32 opts out for
+    # scans outside the verified argmax-parity distribution.
+    coarse_dt = jnp.float32 if params.coarse_f32 else jnp.bfloat16
     patches = jax.vmap(lambda t: _im2col(t, cells_k, cells_k))(
-        table_lo).astype(jnp.bfloat16)
+        table_lo).astype(coarse_dt)
 
     rot_step_lo = res / params.scan_range
     n_rot = max(int(np.ceil(2 * params.rotation_restriction / rot_step_lo)),
@@ -519,7 +533,7 @@ def _match_chunk_sm(cloud_a, mask_a, cloud_b, mask_b, centers,
                                     params.scan_range, res, cells_k)
         scores = jnp.einsum(
             "brk,bok->bro",
-            rasters.reshape(C, rot_chunk, -1).astype(jnp.bfloat16),
+            rasters.reshape(C, rot_chunk, -1).astype(coarse_dt),
             patches, preferred_element_type=jnp.float32)  # [C, rc, O]
         flat = scores.reshape(C, -1)
         k = jnp.argmax(flat, axis=1)

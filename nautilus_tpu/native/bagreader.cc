@@ -292,14 +292,19 @@ void handle_one(const HeaderFields& h, const uint8_t* data, size_t dlen,
     if (c.topic != lidar && c.topic != odom) return;
     // Record (receive) time from the record header: the rosbag::View
     // iteration key (reference main.cc:65-71 replays in this order).
-    double rtime = 0.0;
+    // A message record without it is malformed; report instead of
+    // defaulting to 0.0, which would silently sort the message first
+    // (the Python reader raises KeyError here — keep the two strict
+    // in the same way).
     const std::string* time_s = h.get("time");
-    if (time_s && time_s->size() >= 8) {
-      uint32_t sec, nsec;
-      std::memcpy(&sec, time_s->data(), 4);
-      std::memcpy(&nsec, time_s->data() + 4, 4);
-      rtime = sec + nsec * 1e-9;
+    if (!time_s || time_s->size() < 8) {
+      bag->error = "message data record missing 'time' header field";
+      return;
     }
+    uint32_t sec, nsec;
+    std::memcpy(&sec, time_s->data(), 4);
+    std::memcpy(&nsec, time_s->data() + 4, 4);
+    double rtime = sec + nsec * 1e-9;
     switch (c.type) {
       case 0: decode_scan(data, dlen, ord, rtime, bag); break;
       case 1: decode_odom(data, dlen, ord, rtime, bag); break;

@@ -434,6 +434,13 @@ def linearize_two_pose(x, idx_a, idx_b, item_fn, data, analytic=True):
     """
     if idx_a.shape[0] == 0:
         return None
+    if analytic == "moments":
+        # Moment-form accumulation only exists at the band-assembly level
+        # (_MOMENTS consumers); a per-factor (r, J) term has no moment
+        # form, so resolve the string explicitly to the closed-form J —
+        # the identical linearization — rather than riding truthiness.
+        # Solver._analytic_mode warns when a whole solve degrades this way.
+        analytic = True
     closed_form = _ANALYTIC.get(item_fn) if analytic else None
     if closed_form is not None:
         r, J = closed_form(x[idx_a], x[idx_b], *data)

@@ -425,6 +425,19 @@ class Solver:
         currently resolves to the J form pending device validation of
         the moment path at scale (benchmarks/attrib_large_n.py)."""
         if self.assembly == "moments":
+            if self._layout is None:
+                # Moment-form accumulation is defined on the banded layout;
+                # without one, every consumer resolves to the closed-form
+                # Jacobian.  Say so instead of degrading silently
+                # (ADVICE r3: a CLI user selecting 'moments' on a
+                # non-band-eligible problem must not be misled).
+                import warnings
+                warnings.warn(
+                    "assembly='moments' requires the delta-major band "
+                    "layout, which this problem lacks (window < 1); "
+                    "falling back to closed-form Jacobian assembly",
+                    stacklevel=2)
+                return True
             return "moments"
         if self.assembly == "jacobian":
             return True

@@ -86,3 +86,38 @@ def test_rotation_center_cpu():
     d_th = np.arctan2(np.sin(tr[2] - true_t[2]), np.cos(tr[2] - true_t[2]))
     assert abs(d_th) < 0.06
     assert np.linalg.norm(tr[:2] - true_t[:2]) < 0.15
+
+
+def test_coarse_f32_escape_hatch_parity():
+    """CSMParams(coarse_f32=True) keeps the correlation operands f32
+    (ADVICE r3: bf16 raster counts are exact only to 256/cell); on a
+    normal scan both precisions must land on the same transform."""
+    world = make_world("office")
+    pose_b = np.array([1.0, 2.0, 0.3])
+    pose_a = np.array([1.6, 1.7, 0.55])
+    a, ma = _pad(_scan_at(world, pose_a))
+    b, mb = _pad(_scan_at(world, pose_b))
+    lo = CSMParams(scan_range=10.0, high_res=0.05)
+    hi = CSMParams(scan_range=10.0, high_res=0.05, coarse_f32=True)
+    s_lo, tr_lo = csm_match(a, ma, b, mb, lo)
+    s_hi, tr_hi = csm_match(a, ma, b, mb, hi)
+    np.testing.assert_allclose(np.asarray(tr_lo), np.asarray(tr_hi),
+                               atol=2e-2)
+    assert abs(float(s_lo) - float(s_hi)) < 2e-3
+
+
+def test_coarse_f32_stage_major_engine():
+    from nautilus_tpu.kernels.csm import csm_match_pairs
+    world = make_world("office")
+    poses = [np.array([1.0, 2.0, 0.3]), np.array([1.4, 2.2, 0.5]),
+             np.array([0.6, 1.5, -0.2])]
+    clouds = [_scan_at(world, p) for p in poses]
+    pts = jnp.stack([_pad(c)[0] for c in clouds])
+    msk = jnp.stack([_pad(c)[1] for c in clouds])
+    ss, tt = np.array([1, 2]), np.array([0, 0])
+    lo = CSMParams(scan_range=10.0, high_res=0.05)
+    hi = CSMParams(scan_range=10.0, high_res=0.05, coarse_f32=True)
+    s_lo, tr_lo = csm_match_pairs(pts, msk, ss, tt, lo, engine="stage")
+    s_hi, tr_hi = csm_match_pairs(pts, msk, ss, tt, hi, engine="stage")
+    np.testing.assert_allclose(np.asarray(tr_lo), np.asarray(tr_hi),
+                               atol=2e-2)

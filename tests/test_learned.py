@@ -134,6 +134,48 @@ local_uncertainty_scale_threshold=0.0001
                                      normals[0])
         assert float(scale) > 2.5, float(scale)
 
+    def test_chi_squared_policy_significance_spacing(self):
+        """keyframe_chi_squared_test=true replaces metric spacing with a
+        Mahalanobis significance test (default_config.lua:98-102: the
+        metric distance applies only 'if chi^2 is not in use').
+
+        With per-step translation covariance (1/tw^2) I the statistic is
+        |delta|^2 tw^2 / steps vs the 2-dof 95% quantile 5.991: at tw=1 a
+        1 m step is insignificant (1.0 < 5.991) so consecutive keyframes
+        are suppressed, while at tw=10 the same step is overwhelming
+        (100 > 5.991) and every node becomes a keyframe.
+        """
+        state, _ = make_problem(num_nodes=12, world_kind="office",
+                                num_beams=540, seed=2)
+        # Synthetic unit-step trajectory: exact control of the statistic.
+        state.solution[:, 0] = np.arange(state.num_nodes, dtype=np.float32)
+        state.solution[:, 1:] = 0.0
+        base = ("keyframe_chi_squared_test=true\n"
+                "keyframe_local_uncertainty_filtering=false\n"
+                "keyframe_min_odom_distance=0.0\n")
+        weak = select_keyframes(state, load_config_text(
+            base + "lc_translation_weight=1.0\n"))
+        strong = select_keyframes(state, load_config_text(
+            base + "lc_translation_weight=10.0\n"))
+        assert strong.sum() == state.num_nodes
+        assert 2 <= weak.sum() < strong.sum()
+        # tw=1: significance needs |delta|^2/steps > 5.991; from keyframe k
+        # the first node with (i-k)^2/(i-k) > 5.991 is i-k=6 -> every 6th.
+        assert list(np.where(weak)[0]) == [0, 6]
+
+    def test_chi_squared_accumulated_uncertainty_suppresses(self):
+        """A stationary-ish pose never becomes significant no matter how
+        many steps pass (the covariance grows with steps)."""
+        state, _ = make_problem(num_nodes=10, world_kind="office",
+                                num_beams=540, seed=2)
+        state.solution[:, :] = 0.0
+        state.solution[:, 0] = 0.01 * np.arange(state.num_nodes)
+        cfg = load_config_text("keyframe_chi_squared_test=true\n"
+                               "keyframe_local_uncertainty_filtering=false\n"
+                               "lc_translation_weight=1.0\n")
+        kf = select_keyframes(state, cfg)
+        assert list(np.where(kf)[0]) == [0]
+
     def test_keyframe_pairs_gap(self):
         kf = np.zeros(10, bool)
         kf[[0, 2, 4, 6, 8]] = True

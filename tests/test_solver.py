@@ -485,3 +485,15 @@ class TestAnalyticJacobians:
                                        rtol=1e-4)
             np.testing.assert_allclose(state.solution, sol_j, rtol=5e-4,
                                        atol=5e-5)
+
+    def test_moments_without_band_layout_warns(self):
+        """assembly='moments' on a problem without the delta-major band
+        layout must announce the fallback to closed-form Jacobians
+        instead of silently riding string truthiness (ADVICE r3)."""
+        import pytest
+        state, _ = make_problem(num_nodes=8, world_kind="room",
+                                num_beams=240, seed=7)
+        s = Solver(state, load_config_text(DEFAULTS), assembly="moments")
+        s._layout = None
+        with pytest.warns(UserWarning, match="moments"):
+            assert s._analytic_mode() is True

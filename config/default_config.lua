@@ -34,7 +34,12 @@ rotation_standard_deviation = translation_scaling_2 * translation_change_for_lid
 
 -- ===== Human-in-the-loop loop closure =====
 hitl_lc_topic="/hitl_slam_input"     -- topic carrying HitlSlamInputMsg line pairs
-csm_score_threshold=-5.0             -- min correlative-scan-match score to accept
+-- Min correlative-scan-match score to accept.  NOTE: this engine scores
+-- mean log-occupancy per point, not the reference's summed log-likelihood;
+-- -3.5 is the measured operating point on that scale (same >99% true-pair
+-- acceptance as the reference's -5.0, strictly better non-overlap
+-- rejection — benchmarks/CSM_THRESHOLD.md, DEVIATIONS.md section 3).
+csm_score_threshold=-3.5
 hitl_line_width=0.05                 -- max distance for a point to lie on a HITL line
 hitl_pose_point_threshold=10         -- min points on a line for a pose to join the constraint
 

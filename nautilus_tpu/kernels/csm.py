@@ -196,6 +196,18 @@ def _search_stage(table_log, src_points, src_mask, thetas, res,
     return scores
 
 
+def _fine_rot_count(prev_rot_step, rot_step, cap=9):
+    """Odd rotation count for a refinement stage.
+
+    The optimum can sit anywhere between two previous-stage rotation
+    samples, so the stage's offsets (+-(n//2) * rot_step) must cover at
+    least +- half the previous spacing.  The earlier ceil(prev/rot)|1
+    under-covered by up to half a fine step — a systematic argmax miss
+    caught by the exhaustive lookup oracle (tests/test_csm_oracle.py)."""
+    need = 2 * int(np.ceil(prev_rot_step / (2.0 * rot_step))) + 1
+    return min(max(need, 3), cap)
+
+
 def _argmax3(scores):
     flat = jnp.argmax(scores)
     r = flat // (scores.shape[1] * scores.shape[2])
@@ -277,7 +289,7 @@ def csm_match_to_tables(tables, cloud_a, mask_a,
     tx, ty = tx0, ty0
     best = scores_lo[r0, oy0, ox0]
     for res, rot_step, prev_res, prev_rot_step in stages:
-        n_rot = min(max(int(np.ceil(prev_rot_step / rot_step)) | 1, 1), 9)
+        n_rot = _fine_rot_count(prev_rot_step, rot_step)
         thetas = theta + (jnp.arange(n_rot) - n_rot // 2) * rot_step
         offset_cells = int(round(prev_res / res))
         scores, t_grid = _refine_direct(cloud_a, mask_a, neighbors, thetas,
@@ -572,7 +584,7 @@ def _match_chunk_sm(cloud_a, mask_a, cloud_b, mask_b, centers,
     ]
     theta, tx, ty = theta0, tx0, ty0
     for res_s, rot_step, prev_res, prev_rot_step in stages:
-        n_rot_f = min(max(int(np.ceil(prev_rot_step / rot_step)) | 1, 1), 9)
+        n_rot_f = _fine_rot_count(prev_rot_step, rot_step)
         th = theta[:, None] + ((jnp.arange(n_rot_f) - n_rot_f // 2)
                                * rot_step)[None, :]   # [C, Rf]
         offs = int(round(prev_res / res_s))

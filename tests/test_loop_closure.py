@@ -458,3 +458,43 @@ class TestGroupedCSM:
                                    params)
         np.testing.assert_allclose(s_g, np.asarray(s_b), rtol=1e-5)
         np.testing.assert_allclose(t_g, np.asarray(t_b), atol=1e-5)
+
+
+class TestDefaultThreshold:
+    """The shipped csm_score_threshold default (-3.5,
+    default_config.lua) must sit at the measured operating point: accept
+    physically overlapping pairs, reject non-overlapping ones (true
+    offset beyond the +-2 m search window) under the engine's
+    mean-log-occupancy score scale (benchmarks/CSM_THRESHOLD.md,
+    DEVIATIONS.md section 3)."""
+
+    def test_default_separates_measured_distributions(self):
+        from nautilus_tpu.core.luaconf import load_config
+        cfg = load_config("config/default_config.lua")
+        thresh = float(cfg.csm_score_threshold)
+        assert thresh == -3.5
+
+        # Pairs built the study's way (benchmarks/csm_threshold_sweep.py):
+        # in-world office poses with scan spread, rotation search seeded
+        # by the solution-implied relative heading.
+        world = make_world("office")
+        params = CSMParams(scan_range=10.0)
+        pose_b = np.array([1.0, 2.0, 0.3])
+        b, mb = _pad(scan_to_points(raycast(world, pose_b, 720, max_range=10),
+                                    max_range=10).astype(np.float32))
+        cases = [
+            # (pose_a, rotation_center, accept)
+            (np.array([2.2, 1.4, 1.1]), 0.8, True),     # overlapping
+            (np.array([-6.0, -6.0, 1.9]), 1.6, False),  # different room
+            (np.array([6.5, -6.5, -2.0]), -2.3, False),  # far corner
+        ]
+        for pose_a, center, accept in cases:
+            a, ma = _pad(scan_to_points(
+                raycast(world, pose_a, 720, max_range=10),
+                max_range=10).astype(np.float32))
+            score, _ = csm_match(a, ma, b, mb, params,
+                                 rotation_center=center)
+            if accept:
+                assert float(score) >= thresh, float(score)
+            else:
+                assert float(score) < thresh, float(score)

@@ -278,6 +278,36 @@ def _run(args):
     _restore()
     solver.config = cfg
 
+    # --- Bag ingest throughput at GDC scale (reference main.cc:46-129 is
+    # a rosbag replay; this times the full native-reader -> builder path
+    # on a generated 1000-pose, 720-beam, lz4-chunked bag).
+    ingest_mb_s = ingest_msgs_s = float("nan")
+    ingest_nodes = None
+    try:
+        import tempfile
+        from nautilus_tpu.ingest import rosbag as _rb
+        from nautilus_tpu.ingest.builder import process_bag_file
+        from nautilus_tpu.ingest.synthetic import write_synthetic_bag
+        with tempfile.TemporaryDirectory() as td:
+            bag = os.path.join(td, "gdc_scale.bag")
+            n_bag = 1000 if not args.quick else 100
+            write_synthetic_bag(bag, num_nodes=n_bag, world_kind="building",
+                                num_beams=720, seed=1, substeps=2,
+                                odom_noise_trans=0.02, odom_noise_rot=0.008)
+            msgs = [(m.topic, m.time, m.msg) for m in _rb.read_bag(bag)]
+            _rb.write_bag(bag, msgs, compression="lz4")
+            mb = os.path.getsize(bag) / 1e6
+            ingest_cfg = cfg.replace(lidar_topic="/scan", odom_topic="/odom",
+                                     pose_number=float(n_bag))
+            t0 = time.perf_counter()
+            raw = process_bag_file(bag, ingest_cfg, verbose=False)
+            dt = time.perf_counter() - t0
+            ingest_mb_s = mb / dt
+            ingest_msgs_s = len(msgs) / dt
+            ingest_nodes = int(raw.points.shape[0])
+    except Exception as exc:
+        print(f"warning: ingest bench failed: {exc}", file=sys.stderr)
+
     # --- CPU reference engine.
     if args.skip_cpu:
         cpu_wall = float("nan")
@@ -355,6 +385,11 @@ def _run(args):
                        if cpu_hitl_wall == cpu_hitl_wall else None),
         "hitl_speedup_vs_cpu": (round(cpu_hitl_wall / hitl_wall, 2)
                                 if cpu_hitl_wall == cpu_hitl_wall else None),
+        "ingest_mb_s": (round(ingest_mb_s, 1)
+                        if ingest_mb_s == ingest_mb_s else None),
+        "ingest_msgs_s": (round(ingest_msgs_s, 0)
+                          if ingest_msgs_s == ingest_msgs_s else None),
+        "ingest_nodes": ingest_nodes,
     }
     print(json.dumps(record))
     if not args.quick and not args.skip_cpu:

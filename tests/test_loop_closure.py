@@ -498,3 +498,58 @@ class TestDefaultThreshold:
                 assert float(score) >= thresh, float(score)
             else:
                 assert float(score) < thresh, float(score)
+
+
+class TestScorerSelfCheck:
+    """Per-map scorer adjudication (VERDICT r3 item 8): the gate must
+    fall back to the hand descriptor when the embedding separates known
+    near/far pairs worse on THIS map."""
+
+    def _state(self, n=20):
+        state, _ = make_problem(num_nodes=n, world_kind="office",
+                                num_beams=360, seed=6)
+        return state
+
+    def test_good_scorer_scores_high(self):
+        from nautilus_tpu.loop_closure.auto_lc import scorer_self_check
+        from nautilus_tpu.loop_closure.learned import match_score
+        state = self._state()
+        pts = state.problem.points
+        msk = state.problem.points_mask
+        auc = scorer_self_check(
+            state, lambda s, t: match_score(pts[s], msk[s], pts[t], msk[t]))
+        assert auc is not None and auc >= 0.7, auc
+
+    def test_broken_scorer_scores_low(self):
+        from nautilus_tpu.loop_closure.auto_lc import scorer_self_check
+        state = self._state()
+        # Anti-correlated scorer: far pairs look MORE similar.
+        sol = np.asarray(state.solution[:, :2])
+        auc = scorer_self_check(
+            state, lambda s, t: float(np.linalg.norm(sol[s] - sol[t])))
+        assert auc is not None and auc <= 0.3, auc
+
+    def test_tiny_map_returns_none(self):
+        from nautilus_tpu.loop_closure.auto_lc import scorer_self_check
+        state = self._state(n=4)
+        assert scorer_self_check(state, lambda s, t: 0.0) is None
+
+    def test_gate_falls_back_when_embedding_degraded(self, monkeypatch):
+        from nautilus_tpu.loop_closure import auto_lc, embedding
+        from nautilus_tpu.loop_closure.learned import match_score
+        if embedding.load_params() is None:
+            pytest.skip("no shipped weights")
+        state = self._state()
+        pairs = [(0, 10), (2, 15), (1, 18), (3, 12)]
+        pts = state.problem.points
+        msk = state.problem.points_mask
+        hand_gated = auto_lc.descriptor_gate(state, pairs, 0.5,
+                                             use_learned_embedding=False)
+        # Sabotage the embedding scorer: constant similarity separates
+        # nothing, so its self-check AUC collapses below the hand
+        # descriptor's and auto must pick the hand scorer.
+        monkeypatch.setattr(embedding, "embedding_match_score",
+                            lambda params, pa, ma, pb, mb: 0.0)
+        auto_gated = auto_lc.descriptor_gate(state, pairs, 0.5,
+                                             use_learned_embedding=None)
+        assert auto_gated == hand_gated

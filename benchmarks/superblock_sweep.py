@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--beams", type=int, default=360)
     ap.add_argument("--sizes", type=int, nargs="+",
                     default=[16, 32, 64, 128])
+    ap.add_argument("--methods", nargs="+", default=["scan", "cr"],
+                    choices=["scan", "cr"],
+                    help="factorization backends to A/B (verdict r3 #7: "
+                         "sequential lax.scan vs block cyclic reduction)")
     args = ap.parse_args()
 
     from nautilus_tpu.core.luaconf import load_config
@@ -61,21 +65,23 @@ def main():
 
     ref = None
     for s in args.sizes:
-        slv = jax.jit(lambda q, s=s: solve_damped_banded(
-            q, fixed, radius, solver.lm_params, superblock=s))
-        out = jax.block_until_ready(slv(sys_))
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            jax.block_until_ready(slv(sys_))
-            best = min(best, time.perf_counter() - t0)
-        dx = np.asarray(out[0])
-        if ref is None:
-            ref = dx
-            err = 0.0
-        else:
-            err = float(np.max(np.abs(dx - ref)))
-        print(f"s={s:4d}: {best*1e3:7.1f} ms  max|dx - dx_s16| = {err:.2e}")
+        for method in args.methods:
+            slv = jax.jit(lambda q, s=s, m=method: solve_damped_banded(
+                q, fixed, radius, solver.lm_params, superblock=s, method=m))
+            out = jax.block_until_ready(slv(sys_))
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(slv(sys_))
+                best = min(best, time.perf_counter() - t0)
+            dx = np.asarray(out[0])
+            if ref is None:
+                ref = dx
+                err = 0.0
+            else:
+                err = float(np.max(np.abs(dx - ref)))
+            print(f"s={s:4d} {method:>4s}: {best*1e3:7.1f} ms  "
+                  f"max|dx - dx_ref| = {err:.2e}")
 
 
 if __name__ == "__main__":

@@ -22,7 +22,8 @@ def test_default_config_keys():
     assert cfg.get_int("lidar_constraint_amount_max") == 10
     assert cfg.nc_bin_number == 32
     assert cfg.hitl_lc_topic == "/hitl_slam_input"
-    assert cfg.csm_score_threshold == -5.0
+    # -3.5 = measured operating point on the engine score scale (DEVIATIONS §3)
+    assert cfg.csm_score_threshold == -3.5
     # Derived keys use earlier variables and math.pi.
     expected_tsd = (1 / 10.0) * 0.25 + (1 / 20.0) * (math.pi / 18)
     assert cfg.translation_standard_deviation == pytest.approx(expected_tsd)

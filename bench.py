@@ -32,6 +32,7 @@ _LAST_GOOD = os.path.join(_HERE, "benchmarks", "LAST_GOOD_BENCH.json")
 _PROBE_SRC = (
     "import jax, jax.numpy as jnp\n"
     "d = jax.devices()\n"
+    "print('probe-platform', d[0].platform)\n"
     "assert d[0].platform != 'cpu', d\n"
     "jnp.ones((2, 2)).sum().block_until_ready()\n"
     "print('probe-ok', d[0].platform)\n"
@@ -41,9 +42,18 @@ _PROBE_SRC = (
 def _probe_backend(attempt_timeout_s=120):
     proc = subprocess.run(
         [sys.executable, "-c", _PROBE_SRC], cwd=_HERE,
-        capture_output=True, text=True, timeout=attempt_timeout_s + 30)
-    return proc.returncode == 0 and "probe-ok" in proc.stdout, \
-        (proc.stdout + proc.stderr)[-500:]
+        capture_output=True, text=True, timeout=attempt_timeout_s + 15)
+    ok = proc.returncode == 0 and "probe-ok" in proc.stdout
+    detail = (proc.stdout + proc.stderr)[-500:]
+    if not ok and "probe-platform cpu" in proc.stdout:
+        # Deterministic misconfiguration, not an outage: the backend
+        # initialized fine but only CPU registered (classic cause:
+        # PYTHONPATH set without /root/.axon_site, so the TPU plugin's
+        # sitecustomize never ran).  Retrying cannot help.
+        detail = ("TPU plugin not registered (backend resolves to CPU); "
+                  "check PYTHONPATH includes the axon site dir. " + detail)
+        return False, detail
+    return ok, detail
 
 
 def _wait_for_backend(budget_s=900, sleep_s=75):
@@ -59,11 +69,13 @@ def _wait_for_backend(budget_s=900, sleep_s=75):
                            f"({attempt - 1} attempts); last: {detail.strip()}")
         try:
             ok, detail = _probe_backend(
-                attempt_timeout_s=min(120, max(30, remain)))
+                attempt_timeout_s=min(120, max(15, remain)))
         except subprocess.TimeoutExpired:
             ok, detail = False, "probe subprocess hang (killed by timeout)"
         if ok:
             return True, detail
+        if "TPU plugin not registered" in detail:
+            return False, detail     # config error — retries cannot help
         time.sleep(min(sleep_s, max(0.0, deadline - time.monotonic())))
 
 
@@ -78,8 +90,10 @@ def _emit_outage_json(reason):
            "value": None, "unit": "x", "vs_baseline": None}
     try:
         with open(_LAST_GOOD) as f:
-            out = json.load(f)
-        out["last_good"] = True
+            loaded = json.load(f)
+        if isinstance(loaded, dict):    # guard against a corrupted file
+            out = loaded
+            out["last_good"] = True
     except Exception:
         pass
     out["error"] = reason

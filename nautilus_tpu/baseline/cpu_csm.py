@@ -22,7 +22,7 @@ import math
 import numpy as np
 from scipy.spatial import cKDTree
 
-from nautilus_tpu.kernels.csm import CSMParams
+from nautilus_tpu.kernels.csm import CSMParams, _fine_rot_count
 
 
 def _raster(points, halfwidth, res, cells):
@@ -137,10 +137,8 @@ def csm_match_cpu(cloud_a, cloud_b, params: CSMParams = CSMParams(),
          mid_res, mid_res / params.scan_range),
     ]
     for res_s, rot_step, prev_res, prev_rot_step in stages:
-        # Coverage-complete odd count (mirrors kernels/csm._fine_rot_count):
-        # offsets must span +- half the previous rotation spacing.
-        n_rot = min(max(
-            2 * int(math.ceil(prev_rot_step / (2.0 * rot_step))) + 1, 3), 9)
+        # Shared with the TPU engines so the twins cannot drift.
+        n_rot = _fine_rot_count(prev_rot_step, rot_step)
         thetas = theta + (np.arange(n_rot) - n_rot // 2) * rot_step
         offset_cells = int(round(prev_res / res_s))
         scores, t_grid = _refine_direct(cloud_a, neighbors, thetas, res_s,

@@ -196,14 +196,19 @@ def _search_stage(table_log, src_points, src_mask, thetas, res,
     return scores
 
 
-def _fine_rot_count(prev_rot_step, rot_step, cap=9):
+def _fine_rot_count(prev_rot_step, rot_step, cap=33):
     """Odd rotation count for a refinement stage.
 
     The optimum can sit anywhere between two previous-stage rotation
     samples, so the stage's offsets (+-(n//2) * rot_step) must cover at
     least +- half the previous spacing.  The earlier ceil(prev/rot)|1
     under-covered by up to half a fine step — a systematic argmax miss
-    caught by the exhaustive lookup oracle (tests/test_csm_oracle.py)."""
+    caught by the exhaustive lookup oracle (tests/test_csm_oracle.py).
+
+    cap bounds the stage tensor ([R, W, W] scores) for pathological
+    resolution ratios; the standard pyramid needs at most
+    low_res/(5*high_res)+2, so 33 covers ratios to ~150x before coverage
+    degrades again (a config that extreme mis-sets low_res/high_res)."""
     need = 2 * int(np.ceil(prev_rot_step / (2.0 * rot_step))) + 1
     return min(max(need, 3), cap)
 

@@ -184,6 +184,8 @@ def descriptor_gate(state, pairs, threshold: float,
             raise FileNotFoundError(
                 f"lc_use_learned_embedding=true but no weights at "
                 f"{embedding.default_weights_path()}")
+    if not pairs:
+        return []
     pts = state.problem.points
     msk = state.problem.points_mask
     emb_score = (lambda s, t: embedding.embedding_match_score(
@@ -191,10 +193,20 @@ def descriptor_gate(state, pairs, threshold: float,
     hand_score = lambda s, t: match_score(pts[s], msk[s], pts[t], msk[t])
     score = emb_score or hand_score
     if params is not None and use_learned_embedding is None:
-        auc_emb = scorer_self_check(state, emb_score)
-        auc_hand = scorer_self_check(state, hand_score)
-        if auc_emb is not None and auc_hand is not None \
-                and auc_emb < auc_hand:
+        # The adjudication (~2 x n_probe score evaluations) depends only
+        # on the map's scans, so run it once per state and memoize on the
+        # state object — repeated gate calls reuse the choice.
+        choice = getattr(state, "_descriptor_gate_choice", None)
+        if choice is None:
+            auc_emb = scorer_self_check(state, emb_score)
+            auc_hand = scorer_self_check(state, hand_score)
+            choice = ("hand" if auc_emb is not None and auc_hand is not None
+                      and auc_emb < auc_hand else "emb")
+            try:
+                state._descriptor_gate_choice = choice
+            except AttributeError:   # frozen/slotted state: just recompute
+                pass
+        if choice == "hand":
             score = hand_score
     return [(s, t) for s, t in pairs if float(score(s, t)) >= threshold]
 

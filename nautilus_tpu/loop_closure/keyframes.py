@@ -14,10 +14,12 @@ Chi-squared branch semantics (default_config.lua:98-102: the metric
 spacing applies "if chi^2 is not in use"): a node becomes a keyframe when
 its translation from the last keyframe is STATISTICALLY significant under
 the odometry covariance accumulated since that keyframe.  Per-step
-translation covariance is the inverse odometry information,
-(1/lc_translation_weight^2) I, so the squared Mahalanobis distance is
-``|delta|^2 * tw^2 / steps``; it is compared against the exact 2-dof
-chi-squared quantile ``-2 ln(1 - confidence)``.
+translation covariance is the inverse odometry-residual information,
+(1/translation_weight^2) I — translation_weight is the weight the solver
+applies to odometry factors (solver residuals; default_config.lua:17) —
+so the squared Mahalanobis distance is ``|delta|^2 * tw^2 / steps``; it
+is compared against the exact 2-dof chi-squared quantile
+``-2 ln(1 - confidence)``.
 """
 
 from __future__ import annotations
@@ -38,7 +40,9 @@ def select_keyframes(state: SLAMState, config) -> np.ndarray:
     min_dist = float(config.get("keyframe_min_odom_distance", 0.5))
     use_chi2 = bool(config.get("keyframe_chi_squared_test", False))
     chi2_conf = float(config.get("keyframe_chi_squared_confidence", 0.95))
-    tw = float(config.get("lc_translation_weight", 1.0))
+    # Odometry-residual weight = per-step translation information sqrt
+    # (NOT lc_translation_weight, which weights loop-closure factors).
+    tw = float(config.get("translation_weight", 1.0))
     # 2-dof chi-squared inverse CDF in closed form: P(X <= q) = 1 - e^(-q/2).
     chi2_quantile = -2.0 * math.log(max(1.0 - chi2_conf, 1e-12))
     use_uncertainty = bool(config.get("keyframe_local_uncertainty_filtering",

@@ -9,16 +9,18 @@ touching a backend, and bench.py must emit its one-line JSON (with an
 is down.
 """
 
-import io
 import json
+import os
 import sys
 
 import pytest
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def _load_bench():
     import importlib
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, _REPO)
     try:
         return importlib.import_module("bench")
     finally:
@@ -73,7 +75,7 @@ def test_dryrun_parent_never_initializes_a_backend(monkeypatch):
     """
     import jax
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, _REPO)
     try:
         import __graft_entry__ as g
     finally:

@@ -136,7 +136,8 @@ local_uncertainty_scale_threshold=0.0001
 
     def test_chi_squared_policy_significance_spacing(self):
         """keyframe_chi_squared_test=true replaces metric spacing with a
-        Mahalanobis significance test (default_config.lua:98-102: the
+        Mahalanobis significance test (weight = the odometry-residual
+        translation_weight, not the LC factor weight) (default_config.lua:98-102: the
         metric distance applies only 'if chi^2 is not in use').
 
         With per-step translation covariance (1/tw^2) I the statistic is
@@ -154,9 +155,9 @@ local_uncertainty_scale_threshold=0.0001
                 "keyframe_local_uncertainty_filtering=false\n"
                 "keyframe_min_odom_distance=0.0\n")
         weak = select_keyframes(state, load_config_text(
-            base + "lc_translation_weight=1.0\n"))
+            base + "translation_weight=1.0\n"))
         strong = select_keyframes(state, load_config_text(
-            base + "lc_translation_weight=10.0\n"))
+            base + "translation_weight=10.0\n"))
         assert strong.sum() == state.num_nodes
         assert 2 <= weak.sum() < strong.sum()
         # tw=1: significance needs |delta|^2/steps > 5.991; from keyframe k
@@ -172,7 +173,7 @@ local_uncertainty_scale_threshold=0.0001
         state.solution[:, 0] = 0.01 * np.arange(state.num_nodes)
         cfg = load_config_text("keyframe_chi_squared_test=true\n"
                                "keyframe_local_uncertainty_filtering=false\n"
-                               "lc_translation_weight=1.0\n")
+                               "translation_weight=1.0\n")
         kf = select_keyframes(state, cfg)
         assert list(np.where(kf)[0]) == [0]
 

@@ -14,16 +14,42 @@ Compile note: each test uses small fixed shapes so first-run compiles
 through the axon relay stay in the tens of seconds and cache persistently.
 """
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
+
+def _tpu_available() -> bool:
+    """Probe the backend WITHOUT hanging collection.
+
+    `jax.devices()` at collection time hangs indefinitely during an axon
+    relay outage (the round-3/4 failure mode), so the check runs in a
+    subprocess under a hard timeout: an outage skips the lane in ~2 min
+    instead of wedging `make test-tpu` at session start.
+    """
+    if os.environ.get("NAUTILUS_TPU_TESTS") != "1":
+        return False
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('plat', jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=120)
+    except subprocess.TimeoutExpired:
+        return False
+    return ("plat tpu" in proc.stdout) or ("plat axon" in proc.stdout)
+
+
 pytestmark = [
     pytest.mark.tpu,
     pytest.mark.skipif(
-        jax.devices()[0].platform not in ("tpu", "axon"),
-        reason="needs a real TPU (run with NAUTILUS_TPU_TESTS=1)"),
+        not _tpu_available(),
+        reason="needs a real TPU (run with NAUTILUS_TPU_TESTS=1; "
+               "also skips during a relay outage)"),
 ]
 
 from nautilus_tpu.core.luaconf import load_config_text  # noqa: E402

@@ -239,9 +239,23 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     # covariance engine when the factor set is band-eligible, so gating
     # scales past the dense-H memory wall).
     matcher = LCMatcher.from_solver(solver)
+    # Range prefilter (config lc_base_max_range / lc_max_range_scaling:
+    # "max range to consider a loop closure", growing with node-index
+    # distance to admit drift — keys the reference declares,
+    # default_config.lua:121-126, but never reads).  Applied before the
+    # chi-square gate: pairs beyond the admissible range never pay a
+    # covariance evaluation.
+    base_range = float(cfg.get("lc_base_max_range", 3.5))
+    range_scaling = float(cfg.get("lc_max_range_scaling", 0.01))
+    pos = state.solution[:, :2]
     seen = set()
     for s in candidates:
-        for t in matcher.get_possible_matches(s, candidates):
+        within = [t for t in candidates if t != s
+                  and np.linalg.norm(pos[s] - pos[t])
+                  <= base_range + range_scaling * abs(s - t)]
+        if not within:
+            continue
+        for t in matcher.get_possible_matches(s, within):
             key = (min(s, t), max(s, t))
             if key not in seen:
                 seen.add(key)

@@ -553,3 +553,35 @@ class TestScorerSelfCheck:
         auto_gated = auto_lc.descriptor_gate(state, pairs, 0.5,
                                              use_learned_embedding=None)
         assert auto_gated == hand_gated
+
+
+class TestLCRangePolicy:
+    """lc_base_max_range / lc_max_range_scaling (declared but unread in
+    the reference, default_config.lua:121-126) gate candidate pairs by
+    solution distance before the chi-square gate."""
+
+    def _solver(self):
+        from nautilus_tpu.ingest.synthetic import reverse_traversal_problem
+        state, _ = reverse_traversal_problem()
+        return state
+
+    def _run(self, extra):
+        state = self._solver()
+        cfg = load_config_text(CFG + extra)
+        solver = Solver(state, cfg)
+        solver.solve_slam()
+        return solve_auto_lc(solver, apply=False, verbose=False,
+                             csm_params=CSMParams(scan_range=10.0,
+                                                  low_res=0.3,
+                                                  high_res=0.05))
+
+    def test_tiny_range_excludes_all_pairs(self):
+        report = self._run("lc_base_max_range=0.001\n"
+                           "lc_max_range_scaling=0.0\n")
+        assert report.gated_pairs == []
+
+    def test_default_range_keeps_colocated_pairs(self):
+        # The reverse-traversal cross-pass pair is ~0.4 m apart: inside
+        # the reference default 3.5 m + 0.01/node.
+        report = self._run("")
+        assert len(report.gated_pairs) >= 1

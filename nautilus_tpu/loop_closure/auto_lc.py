@@ -279,20 +279,47 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
         return report
 
     # CSM over gated pairs: one padded device dispatch for the whole list.
+    # lc_match_window_size (config default_config.lua:139, declared but
+    # unread in the reference: "frames in the window around a keyframe to
+    # use to ensure a valid match") expands each pair's TARGET to its
+    # +-w trajectory neighbors; the pair matches against the best-scoring
+    # window member.  All window members ride the same single dispatch,
+    # so the policy costs batch width, not extra round trips.
     params = csm_params or _csm_params_from_config(cfg)
     pts = state.problem.points
     msk = state.problem.points_mask
-    ss = np.array([p[0] for p in report.gated_pairs])
-    tt = np.array([p[1] for p in report.gated_pairs])
+    match_w = int(cfg.get("lc_match_window_size", 0))
+    n_nodes = state.num_nodes
+    exp_ss, exp_tt, owner = [], [], []
+    for k, (s, t) in enumerate(report.gated_pairs):
+        for dt in range(-match_w, match_w + 1):
+            t2 = t + dt
+            if 0 <= t2 < n_nodes and t2 != s:
+                exp_ss.append(s)
+                exp_tt.append(t2)
+                owner.append(k)
+    ss = np.asarray(exp_ss)
+    tt = np.asarray(exp_tt)
+    owner = np.asarray(owner)
     # Seed each pair's rotation search with the solution-implied relative
     # heading (the reference passes both scans' solution angles to
     # GetTransformation, solver.cc:634-638): a reverse-traversal closure
     # (relative heading ~ pi) is otherwise outside the +-90 deg window.
     centers = wrap_angle(state.solution[ss, 2] - state.solution[tt, 2])
-    scores, transforms = csm_match_pairs(pts, msk, ss, tt, params,
-                                         rotation_centers=centers)
-    scores = np.asarray(scores)
-    transforms = np.asarray(transforms, np.float64)
+    all_scores, all_transforms = csm_match_pairs(pts, msk, ss, tt, params,
+                                                 rotation_centers=centers)
+    all_scores = np.asarray(all_scores)
+    all_transforms = np.asarray(all_transforms, np.float64)
+    # Best window member per original pair (window 0 = identity mapping).
+    scores = np.full(len(report.gated_pairs), -np.inf)
+    transforms = np.zeros((len(report.gated_pairs), 3))
+    best_tt = np.array([t for _, t in report.gated_pairs])
+    for j in range(len(ss)):
+        k = owner[j]
+        if all_scores[j] > scores[k]:
+            scores[k] = all_scores[j]
+            transforms[k] = all_transforms[j]
+            best_tt[k] = tt[j]
     threshold = float(cfg.csm_score_threshold)
     wt = float(cfg.lc_translation_weight)
     wr = float(cfg.lc_rotation_weight)
@@ -301,7 +328,8 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     from pathlib import Path as _Path
     debug_dir = cfg.get("lc_debug_output_dir", "")
     debug_dir = debug_dir if debug_dir and _Path(debug_dir).is_dir() else ""
-    for k, (s, t) in enumerate(report.gated_pairs):
+    for k, (s, _t_orig) in enumerate(report.gated_pairs):
+        t = int(best_tt[k])          # best window member (== _t_orig at w=0)
         report.csm_results.append((s, t, float(scores[k]), transforms[k]))
         if debug_dir:
             _dump_pair_image(state, s, t, transforms[k], float(scores[k]),

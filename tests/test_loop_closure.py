@@ -585,3 +585,31 @@ class TestLCRangePolicy:
         # the reference default 3.5 m + 0.01/node.
         report = self._run("")
         assert len(report.gated_pairs) >= 1
+
+
+class TestMatchWindow:
+    """lc_match_window_size expands each gated pair's target to its +-w
+    trajectory neighbors and keeps the best-scoring member (the declared
+    'window around a keyframe' policy, default_config.lua:139)."""
+
+    def _run(self, extra):
+        from nautilus_tpu.ingest.synthetic import reverse_traversal_problem
+        state, _ = reverse_traversal_problem()
+        cfg = load_config_text(CFG + extra)
+        solver = Solver(state, cfg)
+        solver.solve_slam()
+        return solve_auto_lc(solver, apply=False, verbose=False,
+                             csm_params=CSMParams(scan_range=10.0,
+                                                  low_res=0.3,
+                                                  high_res=0.05))
+
+    def test_window_never_scores_worse(self):
+        r0 = self._run("lc_match_window_size=0\n")
+        r1 = self._run("lc_match_window_size=1\n")
+        assert len(r0.csm_results) == len(r1.csm_results) >= 1
+        for (s0, t0, sc0, _), (s1, t1, sc1, _) in zip(r0.csm_results,
+                                                      r1.csm_results):
+            assert s0 == s1
+            assert abs(t1 - t0) <= 1
+            assert sc1 >= sc0 - 1e-6
+        assert len(r1.accepted) >= len(r0.accepted)

@@ -16,7 +16,7 @@ map_output_file="map.txt"            -- vectorized map CSV on vectorize
 -- ===== Optimization tuning =====
 translation_weight=1                 -- odometry residual translation multiplier
 rotation_weight=1                    -- odometry residual rotation multiplier
-accuracy_change_stop_threshold = 0.0001   -- kept for surface parity (window loop is size-driven)
+accuracy_change_stop_threshold = 0.0001   -- LM mean-step stop criterion (solve/lm.py step_tolerance)
 max_lidar_range=30                   -- ranges beyond this are dropped at ingest
 rotation_change_for_lidar=math.pi / 18    -- min rotation to capture a new node
 translation_change_for_lidar=0.25         -- min translation to capture a new node

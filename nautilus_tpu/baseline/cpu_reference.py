@@ -298,7 +298,8 @@ def total_cost(prob: CpuProblem, x, planar, edge, tw, rw,
 def lm_solve(prob: CpuProblem, x0, planar, edge, tw, rw,
              max_iterations=50, function_tolerance=1e-6,
              min_relative_decrease=1e-3, initial_radius=1e4,
-             min_diagonal=1e-6, max_diagonal=1e32, hitl: CpuHitl = None):
+             min_diagonal=1e-6, max_diagonal=1e32, hitl: CpuHitl = None,
+             step_tolerance=0.0):
     """Same trust-region schedule as solve/lm.py, sparse f64."""
     x = x0.copy()
     n = len(x)
@@ -342,6 +343,10 @@ def lm_solve(prob: CpuProblem, x0, planar, edge, tw, rw,
             divisor = 2.0
             if abs(decrease) <= function_tolerance * (cost + decrease):
                 break
+            # accuracy_change_stop_threshold twin (lm.LMParams
+            # .step_tolerance): mean |dx| per accepted step.
+            if step_tolerance > 0 and np.mean(np.abs(dx)) <= step_tolerance:
+                break
         else:
             radius /= divisor
             divisor *= 2
@@ -368,7 +373,10 @@ def solve_slam(prob: CpuProblem, x0, cfg,
                    cfg.get_int("lidar_constraint_amount_max") + 1):
         t0 = time.perf_counter()
         planar, edge = associate(prob, x, w, outlier)
-        x, cost, iters = lm_solve(prob, x, planar, edge, tw, rw, hitl=hitl)
+        x, cost, iters = lm_solve(
+            prob, x, planar, edge, tw, rw, hitl=hitl,
+            step_tolerance=float(
+                cfg.get("accuracy_change_stop_threshold", 0.0)))
         stats.windows.append(dict(window=w, cost=cost, iterations=iters,
                                   wall_s=time.perf_counter() - t0))
     stats.total_wall_s = time.perf_counter() - t_start

@@ -129,7 +129,12 @@ class Solver:
         self.state = state
         self.config = config
         self.visualizer = visualizer
-        self.lm_params = lm_params or LMParams()
+        # accuracy_change_stop_threshold -> LM mean-step stop (the key's
+        # documented "scans change by, on average, less than this"
+        # criterion; lm.LMParams.step_tolerance).
+        self.lm_params = lm_params or LMParams(
+            step_tolerance=float(
+                config.get("accuracy_change_stop_threshold", 0.0)))
         self.use_normal_gate = use_normal_gate
         self.per_iteration_viz = per_iteration_viz and visualizer is not None
         self._viz_window = None

@@ -497,3 +497,47 @@ class TestAnalyticJacobians:
         s._layout = None
         with pytest.warns(UserWarning, match="moments"):
             assert s._analytic_mode() is True
+
+
+class TestStepTolerance:
+    """accuracy_change_stop_threshold -> LMParams.step_tolerance: an
+    accepted step whose mean |dx| is below the threshold ends the LM
+    loop (the key's documented criterion; the reference declares but
+    never reads it)."""
+
+    def test_large_threshold_stops_after_first_accept(self):
+        from nautilus_tpu.solve.lm import LMParams
+        state, _ = make_problem(num_nodes=10, world_kind="room",
+                                num_beams=240, seed=3,
+                                odom_noise_trans=0.03, odom_noise_rot=0.01)
+        cfg = load_config_text(DEFAULTS)
+        s_free = Solver(state, cfg, lm_params=LMParams())
+        st_free = s_free.solve_slam()
+        state2, _ = make_problem(num_nodes=10, world_kind="room",
+                                 num_beams=240, seed=3,
+                                 odom_noise_trans=0.03, odom_noise_rot=0.01)
+        s_stop = Solver(state2, cfg, lm_params=LMParams(step_tolerance=1e9))
+        st_stop = s_stop.solve_slam()
+        # Huge tolerance: every window converges on its first accepted
+        # step, so total iterations strictly drop while costs still fall.
+        assert sum(w.iterations for w in st_stop.windows) < \
+            sum(w.iterations for w in st_free.windows)
+        for w in st_stop.windows:
+            assert w.final_cost <= w.initial_cost + 1e-9
+
+    def test_config_key_binds_and_preserves_quality(self):
+        state, _ = make_problem(num_nodes=10, world_kind="room",
+                                num_beams=240, seed=3,
+                                odom_noise_trans=0.03, odom_noise_rot=0.01)
+        cfg = load_config_text(DEFAULTS +
+                               "accuracy_change_stop_threshold=0.0001\n")
+        s = Solver(state, cfg)
+        assert s.lm_params.step_tolerance == pytest.approx(1e-4)
+        st = s.solve_slam()
+        state2, _ = make_problem(num_nodes=10, world_kind="room",
+                                 num_beams=240, seed=3,
+                                 odom_noise_trans=0.03, odom_noise_rot=0.01)
+        st0 = Solver(state2, load_config_text(DEFAULTS)).solve_slam()
+        # The default threshold only trims sub-0.1mm steps: final cost
+        # must agree closely with the untrimmed run.
+        np.testing.assert_allclose(st.final_cost, st0.final_cost, rtol=1e-3)

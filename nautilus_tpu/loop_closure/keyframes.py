@@ -34,6 +34,56 @@ from nautilus_tpu.core.problem import SLAMState
 from nautilus_tpu.loop_closure.learned import local_uncertainty
 
 
+def _batched_local_uncertainty(state: SLAMState, prev_scans: int):
+    """(condition, scale) per node, each scored on the node's scan MERGED
+    with its ``prev_scans`` predecessors in the node's frame
+    (config ``local_uncertainty_prev_scans``, default_config.lua:115 —
+    "previous scans to use for calculating local uncertainty": a scan
+    that is individually degenerate but part of a well-constrained
+    neighborhood should not be rejected).  Built as rolled copies
+    transformed via the current solution — one batched device pass, no
+    per-node gathers.
+    """
+    import jax.numpy as jnp
+
+    n = state.num_nodes
+    pts = jnp.asarray(state.problem.points[:n])
+    msk = jnp.asarray(state.problem.points_mask[:n])
+    nrm = jnp.asarray(state.problem.normals[:n])
+    if prev_scans <= 0:
+        conds, scales = jax.vmap(local_uncertainty)(pts, msk, nrm)
+        return np.asarray(conds), np.asarray(scales)
+    sol = jnp.asarray(state.solution[:n], pts.dtype)
+    th_i, t_i = sol[:, 2], sol[:, :2]
+    c_i, s_i = jnp.cos(th_i), jnp.sin(th_i)
+    pieces_p, pieces_m, pieces_n = [], [], []
+    for s in range(prev_scans + 1):
+        pj = jnp.roll(pts, s, axis=0)
+        mj = jnp.roll(msk, s, axis=0) & (jnp.arange(n) >= s)[:, None]
+        nj = jnp.roll(nrm, s, axis=0)
+        th_j = jnp.roll(th_i, s)
+        t_j = jnp.roll(t_i, s, axis=0)
+        # node j frame -> world -> node i frame: R(-th_i)(R(th_j) p
+        # + t_j - t_i); normals rotate by (th_j - th_i).
+        dth = th_j - th_i
+        c, sn = jnp.cos(dth)[:, None], jnp.sin(dth)[:, None]
+        px = c * pj[..., 0] - sn * pj[..., 1]
+        py = sn * pj[..., 0] + c * pj[..., 1]
+        dt = t_j - t_i                                  # [N, 2]
+        dx = c_i[:, None] * dt[:, None, 0] + s_i[:, None] * dt[:, None, 1]
+        dy = -s_i[:, None] * dt[:, None, 0] + c_i[:, None] * dt[:, None, 1]
+        pieces_p.append(jnp.stack([px + dx, py + dy], axis=-1))
+        pieces_n.append(jnp.stack([c * nj[..., 0] - sn * nj[..., 1],
+                                   sn * nj[..., 0] + c * nj[..., 1]],
+                                  axis=-1))
+        pieces_m.append(mj)
+    conds, scales = jax.vmap(local_uncertainty)(
+        jnp.concatenate(pieces_p, axis=1),
+        jnp.concatenate(pieces_m, axis=1),
+        jnp.concatenate(pieces_n, axis=1))
+    return np.asarray(conds), np.asarray(scales)
+
+
 def select_keyframes(state: SLAMState, config) -> np.ndarray:
     """Returns a bool mask [N] of keyframe nodes per the config policy."""
     n = state.num_nodes
@@ -55,11 +105,8 @@ def select_keyframes(state: SLAMState, config) -> np.ndarray:
     scale_thresh = float(config.get("local_uncertainty_scale_threshold", 2.5))
 
     if use_uncertainty:
-        conds, scales = jax.vmap(local_uncertainty)(
-            state.problem.points, state.problem.points_mask,
-            state.problem.normals)
-        conds = np.asarray(conds)
-        scales = np.asarray(scales)
+        conds, scales = _batched_local_uncertainty(
+            state, int(config.get("local_uncertainty_prev_scans", 2)))
         uncertainty_ok = (conds < cond_thresh) & (scales < scale_thresh)
     else:
         uncertainty_ok = np.ones(n, bool)

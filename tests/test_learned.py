@@ -182,3 +182,53 @@ local_uncertainty_scale_threshold=0.0001
         kf[[0, 2, 4, 6, 8]] = True
         pairs = keyframe_pairs(kf, min_keyframe_gap=2)
         assert (0, 4) in pairs and (0, 2) not in pairs
+
+
+class TestPrevScansUncertainty:
+    """local_uncertainty_prev_scans merges each node's scan with its k
+    predecessors (in the node's frame) before scoring: an individually
+    degenerate scan inside a well-constrained neighborhood passes."""
+
+    def _state(self):
+        import jax.numpy as jnp
+        from nautilus_tpu.core.preprocess import preprocess
+        from nautilus_tpu.core.problem import (RawNodes, SLAMState,
+                                               build_problem, pad_clouds)
+        from nautilus_tpu.ingest.synthetic import make_world, raycast, \
+            scan_to_points
+        corner = make_world("corner")
+        good = scan_to_points(raycast(corner, np.array([1.0, 1.0, 0.8]),
+                                      360, max_range=10),
+                              max_range=10).astype(np.float32)
+        xs = np.linspace(-4, 4, 200)
+        wall = np.stack([xs, np.full_like(xs, 2.0)],
+                        -1).astype(np.float32)
+        clouds = [good, good, wall, good]
+        pts, msk = pad_clouds(clouds, pad_multiple=128)
+        n = len(clouds)
+        raw = RawNodes(
+            points=pts, points_mask=msk,
+            initial_poses=np.zeros((n, 3)),
+            timestamps=np.arange(n, dtype=np.float64),
+            odom_i=np.arange(n - 1, dtype=np.int64),
+            odom_j=np.arange(1, n, dtype=np.int64),
+            odom_trans=np.zeros((n - 1, 2)), odom_rot=np.zeros(n - 1))
+        normals, pi_, pm, ei, em, _ = preprocess(raw.points,
+                                                 raw.points_mask,
+                                                 as_numpy=False)
+        problem = build_problem(raw, normals, pi_, pm, ei, em,
+                                dtype=jnp.float32)
+        return SLAMState.from_problem(problem, raw.timestamps)
+
+    def test_merged_neighborhood_rescues_degenerate_scan(self):
+        from nautilus_tpu.loop_closure.keyframes import \
+            _batched_local_uncertainty
+        state = self._state()
+        _, scales0 = _batched_local_uncertainty(state, prev_scans=0)
+        _, scales2 = _batched_local_uncertainty(state, prev_scans=2)
+        # Alone, the one-wall scan at node 2 is degenerate (scale above
+        # the 2.5 gate); merged with two corner predecessors it passes.
+        assert scales0[2] > 2.5, scales0
+        assert scales2[2] < 2.5, scales2
+        # Well-constrained nodes stay well-constrained either way.
+        assert scales0[1] < 2.5 and scales2[3] < 2.5

@@ -135,16 +135,16 @@ def read_bag_native(path, lidar_topic: str,
                                        meta[0], msg)))
         n_od = lib.nt_bag_num_odoms(handle)
         if n_od:
-            buf = np.empty((n_od, 9), np.float64)
+            buf = np.empty((n_od, 10), np.float64)
             lib.nt_bag_odoms(handle, buf.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_double)))
             for row in buf:
                 msg = OdometryMsg(
                     header=HeaderMsg(0, row[0], "odom"), child_frame_id="",
-                    position=np.array([row[1], row[2], 0.0]),
-                    orientation=row[3:7].copy(),
+                    position=row[1:4].copy(),
+                    orientation=row[4:8].copy(),
                     twist_linear=np.zeros(3), twist_angular=np.zeros(3))
-                entries.append((row[8], int(row[7]),
+                entries.append((row[9], int(row[8]),
                                 BagMessage(odom_topic, OdometryMsg.TYPE,
                                            row[0], msg)))
         n_cb = lib.nt_bag_num_cobots(handle)

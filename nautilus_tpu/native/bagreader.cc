@@ -99,7 +99,7 @@ struct Scan {
 
 struct Odom {
   double stamp;
-  double px, py;
+  double px, py, pz;
   double qx, qy, qz, qw;
   int64_t order;
   double rtime;
@@ -221,7 +221,7 @@ void decode_odom(const uint8_t* data, size_t n, int64_t order, double rtime,
   r.str();  // child_frame_id
   o.px = r.f64();
   o.py = r.f64();
-  r.f64();  // z
+  o.pz = r.f64();
   o.qx = r.f64();
   o.qy = r.f64();
   o.qz = r.f64();
@@ -437,16 +437,16 @@ void nt_bag_scan_ranges(void* h, long i, float* out) {
   std::memcpy(out, s.ranges.data(), 4 * s.ranges.size());
 }
 
-// out rows: [stamp, px, py, qx, qy, qz, qw, order, rtime]
+// out rows: [stamp, px, py, pz, qx, qy, qz, qw, order, rtime]
 void nt_bag_odoms(void* h, double* out) {
   Bag* bag = static_cast<Bag*>(h);
   for (size_t i = 0; i < bag->odoms.size(); i++) {
     const Odom& o = bag->odoms[i];
-    double* r = out + 9 * i;
-    r[0] = o.stamp; r[1] = o.px; r[2] = o.py;
-    r[3] = o.qx; r[4] = o.qy; r[5] = o.qz; r[6] = o.qw;
-    r[7] = static_cast<double>(o.order);
-    r[8] = o.rtime;
+    double* r = out + 10 * i;
+    r[0] = o.stamp; r[1] = o.px; r[2] = o.py; r[3] = o.pz;
+    r[4] = o.qx; r[5] = o.qy; r[6] = o.qz; r[7] = o.qw;
+    r[8] = static_cast<double>(o.order);
+    r[9] = o.rtime;
   }
 }
 

@@ -142,3 +142,66 @@ odom_topic="/odom"
     np.testing.assert_allclose(raw_native.points, raw_py.points, atol=1e-6)
     np.testing.assert_allclose(raw_native.initial_poses, raw_py.initial_poses,
                                atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_randomized_bag_parity(tmp_path, seed):
+    """Property test: on randomized bags — shuffled record times, mixed
+    wanted/unwanted topics, random scan widths, every compression — the
+    native reader and the Python parser return byte-identical message
+    streams in the same order."""
+    rng = np.random.default_rng(seed)
+    msgs = []
+    t0 = 1e9
+    for k in range(rng.integers(20, 60)):
+        t = t0 + float(rng.uniform(0, 30))      # deliberately unsorted
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            n = int(rng.integers(3, 400))
+            msgs.append(("/scan", t, rb.LaserScanMsg(
+                rb.HeaderMsg(k, t, "laser"),
+                angle_min=float(rng.uniform(-np.pi, 0)),
+                angle_max=float(rng.uniform(0, np.pi)),
+                angle_increment=float(rng.uniform(0.001, 0.1)),
+                time_increment=0.0, scan_time=0.05,
+                range_min=0.02, range_max=30.0,
+                ranges=rng.uniform(0.1, 30.0, n).astype(np.float32),
+                intensities=np.zeros(0, np.float32))))
+        elif kind == 1:
+            q = rng.normal(size=4); q /= np.linalg.norm(q)
+            msgs.append(("/odom", t, rb.OdometryMsg(
+                rb.HeaderMsg(k, t, "odom"), "base",
+                position=rng.normal(size=3),
+                orientation=q,
+                twist_linear=rng.normal(size=3),
+                twist_angular=rng.normal(size=3))))
+        elif kind == 2:
+            msgs.append(("/other_odom", t, rb.CobotOdometryMsg(
+                rb.HeaderMsg(k, t, "odom"),
+                dr=float(rng.normal()), dx=float(rng.normal()),
+                dy=float(rng.normal()))))
+        else:   # unwanted topic the readers must skip consistently
+            msgs.append(("/junk_scan", t, rb.LaserScanMsg(
+                rb.HeaderMsg(k, t, "laser"), -1.0, 1.0, 0.01, 0.0, 0.05,
+                0.02, 30.0, rng.uniform(0.1, 30.0, 10).astype(np.float32),
+                np.zeros(0, np.float32))))
+    for compression in ("none", "bz2", "lz4"):
+        path = tmp_path / f"fuzz_{seed}_{compression}.bag"
+        rb.write_bag(path, msgs, compression=compression)
+        py_msgs = list(rb.read_bag(path, topics=["/scan", "/odom"]))
+        nat_msgs = read_bag_native(path, "/scan", "/odom")
+        assert nat_msgs is not None
+        assert len(py_msgs) == len(nat_msgs)
+        # Streams must be time-sorted and element-wise identical.
+        times = [m.time for m in py_msgs]
+        assert times == sorted(times)
+        for pm, nm in zip(py_msgs, nat_msgs):
+            assert pm.topic == nm.topic
+            assert pm.time == pytest.approx(nm.time, abs=1e-6)
+            assert type(pm.msg) is type(nm.msg)
+            if isinstance(pm.msg, rb.LaserScanMsg):
+                np.testing.assert_array_equal(pm.msg.ranges, nm.msg.ranges)
+                assert pm.msg.angle_increment == pytest.approx(
+                    nm.msg.angle_increment)
+            else:
+                np.testing.assert_allclose(pm.msg.position, nm.msg.position)

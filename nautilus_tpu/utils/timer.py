@@ -108,3 +108,30 @@ def profile_to(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class RateLoop:
+    """Fixed-rate loop pacing (reference util/timer.h RateLoop): call
+    ``sleep()`` at the end of each pass; it sleeps out the remainder of
+    the 1/hz period (and resets the phase after an over-long pass so a
+    slow iteration does not cause a burst of catch-up passes).
+
+    The reference's RDTSC cycle counter has no equivalent here by
+    design: a raw TSC is meaningless for device-side work — use
+    FunctionTimer / jax.profiler scopes instead.
+    """
+
+    def __init__(self, hz: float):
+        if hz <= 0:
+            raise ValueError(f"RateLoop needs hz > 0, got {hz}")
+        self.period_s = 1.0 / hz
+        self._next = time.perf_counter() + self.period_s
+
+    def sleep(self):
+        now = time.perf_counter()
+        remaining = self._next - now
+        if remaining > 0:
+            time.sleep(remaining)
+            self._next += self.period_s
+        else:
+            self._next = now + self.period_s

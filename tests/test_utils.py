@@ -61,3 +61,22 @@ class TestOdomHelpers:
         t, r = total_odom_change(trans, rot)
         np.testing.assert_allclose(t, [1.5, 0.5])
         assert r == pytest.approx(6.0 - 2 * np.pi)
+
+
+def test_rate_loop_paces_and_recovers():
+    import time as _time
+    from nautilus_tpu.utils.timer import RateLoop
+    loop = RateLoop(hz=50.0)
+    t0 = _time.perf_counter()
+    for _ in range(3):
+        loop.sleep()
+    assert _time.perf_counter() - t0 >= 0.05  # 3 periods at 20 ms, minus phase
+    # An over-long pass resets the phase instead of bursting.
+    _time.sleep(0.1)
+    t1 = _time.perf_counter()
+    loop.sleep()
+    loop.sleep()
+    assert 0.015 <= _time.perf_counter() - t1 <= 0.2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        RateLoop(0)

@@ -144,19 +144,22 @@ def scorer_self_check(state, score_fn, n_probe: int = 12,
     extent = float(np.linalg.norm(sol.max(0) - sol.min(0)))
     if extent <= 1e-6:
         return None
-    d = np.linalg.norm(sol[:, None] - sol[None, :], axis=-1)
-    iu, ju = np.triu_indices(n, k=2)
-    far_mask = d[iu, ju] >= far_frac * extent
-    if not np.any(far_mask):
-        return None
     rng = np.random.default_rng(0)
+    # Far pairs by rejection sampling — never materializes the O(N^2)
+    # distance matrix (3+ GB at N=20000).
+    far_pairs = []
+    for i, j in zip(rng.integers(0, n, 60 * n_probe),
+                    rng.integers(0, n, 60 * n_probe)):
+        if abs(int(i) - int(j)) >= 2 and \
+                np.linalg.norm(sol[i] - sol[j]) >= far_frac * extent:
+            far_pairs.append((int(i), int(j)))
+            if len(far_pairs) >= n_probe:
+                break
+    if not far_pairs:
+        return None
     near_i = rng.choice(n - 1, size=min(n_probe, n - 1), replace=False)
-    far_sel = rng.choice(np.nonzero(far_mask)[0],
-                         size=min(n_probe, int(far_mask.sum())),
-                         replace=False)
     near = np.array([float(score_fn(int(i), int(i + 1))) for i in near_i])
-    far = np.array([float(score_fn(int(iu[k]), int(ju[k])))
-                    for k in far_sel])
+    far = np.array([float(score_fn(i, j)) for i, j in far_pairs])
     return float(np.mean(near[:, None] > far[None, :]))
 
 

@@ -132,22 +132,38 @@ def _cg(matvec, precond, b, n_iters, tol, x0=None):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("params", "cg_params"))
+@functools.partial(jax.jit, static_argnames=("params", "cg_params",
+                                             "layout"))
 def lm_solve_cg(x0, graph: FactorGraph, fixed_dof,
                 params: LMParams = LMParams(),
-                cg_params: CGParams = CGParams()) -> LMResult:
-    """LM with matrix-free PCG inner solves.  Same contract as lm_solve."""
+                cg_params: CGParams = CGParams(),
+                band_graph: FactorGraph = None,
+                layout=None) -> LMResult:
+    """LM with matrix-free PCG inner solves.  Same contract as lm_solve.
+
+    band_graph + layout (optional): the band-eligible SUBSET of the
+    factor graph (in-window correspondences + in-window odometry —
+    everything except the long-range loop closures that forced the CG
+    path in the first place).  When given, the inner preconditioner is
+    the damped block-band Cholesky of that subset instead of block
+    Jacobi: H = Hband + (low-rank long-range part), so M^-1 H clusters
+    all but a few eigenvalues at 1 and CG converges in a handful of
+    iterations where block-Jacobi needed ~100 (tests/test_cg.py pins the
+    iteration collapse).  One band factorization per inner solve,
+    O(N w) — the same cost the pure band path pays per LM step.
+    """
     m = x0.shape[0]
     n_dof = 3 * m
     dtype = x0.dtype
     free = (~fixed_dof).astype(dtype)
+    use_band_precond = band_graph is not None and layout is not None
 
     def project(v):
         return v * free
 
     terms0, g0, diag0, cost0 = _linearize(x0, graph)
 
-    def solve_damped(terms, g, diag, radius, dx_prev, eta):
+    def solve_damped(terms, g, diag, radius, dx_prev, eta, x):
         flat_diag = jnp.diagonal(diag, axis1=1, axis2=2).reshape(-1)
         d = jnp.clip(flat_diag, params.min_diagonal, params.max_diagonal)
         d = jnp.where(fixed_dof, 0.0, d) / radius
@@ -157,14 +173,44 @@ def lm_solve_cg(x0, graph: FactorGraph, fixed_dof,
             hv = _hvp(terms, v, n_dof) + d * v
             return project(hv)
 
-        # Damped block-Jacobi preconditioner.
+        # Damped block-Jacobi blocks (the fallback preconditioner, and
+        # the line-pose tail under the band preconditioner).
         damped_blocks = diag + jax.vmap(jnp.diag)(d.reshape(m, 3))
         inv_blocks = _inv3x3(damped_blocks)
 
-        def precond(v):
+        def precond_jacobi(v):
             v3 = project(v).reshape(m, 3)
-            z = jnp.einsum("mij,mj->mi", inv_blocks, v3, precision=HIGHEST)
+            z = jnp.einsum("mij,mj->mi", inv_blocks, v3,
+                           precision=HIGHEST)
             return project(z.reshape(-1))
+
+        if use_band_precond:
+            from nautilus_tpu.solve.band import (_apply_gauge_band,
+                                                 band_apply_inverse,
+                                                 band_factor)
+            from nautilus_tpu.solve.factors import assemble_banded_system
+            n_nodes = layout.n
+            sys_band, _ = assemble_banded_system(x, band_graph, layout)
+            sysg = _apply_gauge_band(sys_band, fixed_dof)
+            # Same damped diagonal the matvec uses (full-H clipped diag):
+            # the preconditioner then matches H exactly on the band.
+            dsys = sysg._replace(
+                diag=sysg.diag
+                + jax.vmap(jnp.diag)(d[:3 * n_nodes].reshape(n_nodes, 3)))
+            fac = band_factor(dsys, max(16, layout.w))
+
+            def precond(v):
+                v = project(v)
+                zn = band_apply_inverse(
+                    fac, v[:3 * n_nodes].reshape(n_nodes, 3)).reshape(-1)
+                # Line-pose tail (HITL border slots): block Jacobi.
+                zl = jnp.einsum(
+                    "mij,mj->mi", inv_blocks[n_nodes:],
+                    v[3 * n_nodes:].reshape(m - n_nodes, 3),
+                    precision=HIGHEST).reshape(-1)
+                return project(jnp.concatenate([zn, zl]))
+        else:
+            precond = precond_jacobi
 
         rhs = project(-g)
         dx = _cg(matvec, precond, rhs, cg_params.max_iterations,
@@ -191,7 +237,7 @@ def lm_solve_cg(x0, graph: FactorGraph, fixed_dof,
         (x, terms, g, diag, cost, radius, divisor, it, done, dx_prev,
          g_prev_norm) = state
         eta, g_norm = forcing(g, g_prev_norm)
-        dx, d = solve_damped(terms, g, diag, radius, dx_prev, eta)
+        dx, d = solve_damped(terms, g, diag, radius, dx_prev, eta, x)
         x_new = x + dx.reshape(m, 3)
         new_cost = total_cost(x_new, graph)
         hdx = _hvp(terms, dx, n_dof)

@@ -181,17 +181,21 @@ class Solver:
             (in_b if abs(int(f[0]) - int(f[1])) <= w else lr).append(f)
         return in_b, lr
 
-    def _band_eligible(self) -> bool:
-        """Band solver applies when every ODOMETRY factor couples nodes
-        within the correspondence band |i - j| <= layout.w.  HITL line
-        poses solve as a dense border, and long-range loop-closure
-        factors as a Woodbury low-rank term (up to LR_FACTOR_CAP)."""
+    def _odom_within_band(self) -> bool:
+        """Every raw odometry factor couples nodes within |i-j| <= w."""
         if self._layout is None:
             return False
         i, j, _, _ = self.state.odometry_factors
         max_d = int(np.max(np.abs(np.asarray(i) - np.asarray(j)))) \
             if len(i) else 0
-        if max_d > self._layout.w:
+        return max_d <= self._layout.w
+
+    def _band_eligible(self) -> bool:
+        """Band solver applies when every ODOMETRY factor couples nodes
+        within the correspondence band |i - j| <= layout.w.  HITL line
+        poses solve as a dense border, and long-range loop-closure
+        factors as a Woodbury low-rank term (up to LR_FACTOR_CAP)."""
+        if not self._odom_within_band():
             return False
         _, lr = self._split_lc()
         return len(lr) <= self.LR_FACTOR_CAP
@@ -558,7 +562,13 @@ class Solver:
                                  exclude_long_range=solver_kind == "band")
         if solver_kind == "cg":
             from nautilus_tpu.solve.cg import lm_solve_cg
-            res = lm_solve_cg(x, graph, fixed, params=self.lm_params)
+            bg = (self.build_graph(x, w, optimization_type,
+                                   exclude_long_range=True)
+                  if self._odom_within_band() else None)
+            res = lm_solve_cg(x, graph, fixed, params=self.lm_params,
+                              band_graph=bg,
+                              layout=self._layout if bg is not None
+                              else None)
         elif solver_kind == "band":
             from nautilus_tpu.solve.lm import lm_solve_banded
             res = lm_solve_banded(x, graph, fixed, params=self.lm_params,
@@ -608,8 +618,14 @@ class Solver:
                                      pairs=(ps, pt))
             if solver_kind == "cg":
                 from nautilus_tpu.solve.cg import lm_solve_cg
-                res: LMResult = lm_solve_cg(x, graph, fixed,
-                                            params=self.lm_params)
+                bg = (self.build_graph(x, window, optimization_type,
+                                       exclude_long_range=True,
+                                       pairs=(ps, pt))
+                      if self._odom_within_band() else None)
+                res: LMResult = lm_solve_cg(
+                    x, graph, fixed, params=self.lm_params,
+                    band_graph=bg,
+                    layout=lay if bg is not None else None)
             elif use_band:
                 from nautilus_tpu.solve.lm import lm_solve_banded
                 res = lm_solve_banded(x, graph, fixed,

@@ -46,6 +46,9 @@ run superblock-20000 3000 python benchmarks/superblock_sweep.py --nodes 20000
 # 5. Auto-LC end-to-end at GDC scale.
 run auto-lc 1800 python benchmarks/auto_lc_bench.py
 
+# 5b. CG preconditioner A/B (the very-large-N many-closure fallback).
+run cg-precond 2400 python benchmarks/cg_band_precond_bench.py --nodes 4000
+
 # 6. Full bench refresh (writes benchmarks/LAST_GOOD_BENCH.json on success).
 run bench 3600 python bench.py
 

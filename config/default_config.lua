@@ -80,3 +80,6 @@ solver_dtype="float32"               -- device solve precision; "float64"
 linear_solver="auto"                 -- "band" (block-band Cholesky, the
                                      -- default when all factors are in-
                                      -- window), "dense", "cg", or "auto"
+lr_factor_cap=341                    -- max long-range loop closures the band
+                                     -- solver folds in as Woodbury columns
+                                     -- (3 per closure; memory ~ N * cap)

@@ -171,6 +171,12 @@ class Solver:
     # Long-range LC factors ride the band solver as a Woodbury low-rank
     # term; each contributes 3 columns, and the (R x R) Woodbury core is
     # solved dense, so cap the count (dense path takes over beyond it).
+    # Default cap; per-instance override via the engine-extension config
+    # key ``lr_factor_cap`` (each closure adds 3 Woodbury columns: the
+    # (R x R) core solves dense and T = Hb^-1 U is [3N, 3R], so memory
+    # grows linearly in N * cap — at N=20000 the default keeps T under
+    # ~250 MB.  Raising it keeps the exact band path on closure-heavy
+    # maps at the cost of that memory.)
     LR_FACTOR_CAP = 341   # 3 * 341 = 1023 columns
 
     def _split_lc(self):
@@ -198,7 +204,8 @@ class Solver:
         if not self._odom_within_band():
             return False
         _, lr = self._split_lc()
-        return len(lr) <= self.LR_FACTOR_CAP
+        cap = int(self.config.get("lr_factor_cap", self.LR_FACTOR_CAP))
+        return len(lr) <= cap
 
     def _resolve_solver(self) -> str:
         """Per-solve linear-solver choice ('auto' depends on the current

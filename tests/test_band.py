@@ -457,3 +457,43 @@ def test_staged_fused_lc_width_rules():
     state.lc_factors[:] = [(0, 15, np.zeros(2), 0.0, 1.0, 1.0)]
     s2 = Solver(state, cfg, staged_fused=True)
     assert len(s2._staged_sweep_plan(1, 4, use_band=True)) == 2
+
+
+def test_lr_factor_cap_config_override():
+    """The engine-extension key lr_factor_cap raises the Woodbury cap:
+    a closure count above the default 341 stays on the exact band path
+    when the key allows it, and lands on the same map as the dense
+    solver."""
+    from nautilus_tpu.core.luaconf import load_config_text
+    from nautilus_tpu.ingest.synthetic import make_problem
+    from nautilus_tpu.solve.solver import Solver
+
+    base = ("translation_weight=1\nrotation_weight=1\n"
+            "lidar_constraint_amount_min=1\nlidar_constraint_amount_max=2\n"
+            "outlier_threshold=0.25\n")
+    state, _ = make_problem(num_nodes=30, world_kind="building",
+                            num_beams=240, seed=4,
+                            odom_noise_trans=0.02, odom_noise_rot=0.008)
+    rng = np.random.default_rng(1)
+    for _ in range(360):   # > default cap 341
+        s = int(rng.integers(1, 20))
+        t = int(s + rng.integers(5, 29 - s))
+        rel = state.solution[t] - state.solution[s]
+        state.lc_factors.append((s, t, rel[:2].copy(), float(rel[2]),
+                                 1.0, 1.0))
+    x0 = state.solution.copy()
+
+    s_default = Solver(state, load_config_text(base))
+    assert s_default._resolve_solver() != "band"   # over the default cap
+    s_raised = Solver(state, load_config_text(base + "lr_factor_cap=400\n"))
+    assert s_raised._resolve_solver() == "band"
+    st_band = s_raised.solve_slam()
+    sol_band = state.solution.copy()
+
+    state.solution = x0.copy()
+    st_dense = Solver(state, load_config_text(base),
+                      linear_solver="dense").solve_slam()
+    np.testing.assert_allclose(st_band.final_cost, st_dense.final_cost,
+                               rtol=1e-3)
+    np.testing.assert_allclose(sol_band, state.solution, rtol=1e-3,
+                               atol=1e-3)

@@ -26,8 +26,12 @@ if ! timeout 120 python -c "import jax, jax.numpy as jnp; \
   echo "relay still down; aborting checklist"; exit 1
 fi
 
+# 1. Full bench FIRST: if the relay window closes again, the headline
+#    numbers and the last-good record are already captured.
+run bench 3600 python bench.py
+
 if [ "${1:-}" != "--skip-tests" ]; then
-  # 1. On-device parity lane (solver/kernel code changed this round).
+  # 2. On-device parity lane (solver/kernel code changed this round).
   run test-tpu 1500 make test-tpu
 fi
 
@@ -48,8 +52,5 @@ run auto-lc 1800 python benchmarks/auto_lc_bench.py
 
 # 5b. CG preconditioner A/B (the very-large-N many-closure fallback).
 run cg-precond 2400 python benchmarks/cg_band_precond_bench.py --nodes 4000
-
-# 6. Full bench refresh (writes benchmarks/LAST_GOOD_BENCH.json on success).
-run bench 3600 python bench.py
 
 echo "=== checklist complete $(date +%H:%M:%S); logs in $LOG/ ==="

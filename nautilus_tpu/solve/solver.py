@@ -438,8 +438,13 @@ class Solver:
         """Linearization form for banded assembly: 'moments' (J^T J and
         J^T r from per-point scalar reductions, J never materialized),
         True (closed-form J + einsum), or jacfwd via False.  Auto
-        currently resolves to the J form pending device validation of
-        the moment path at scale (benchmarks/attrib_large_n.py)."""
+        resolves to the moment form wherever the banded layout exists —
+        device-validated at scale (N=5000, w=10: moments 29.5 ms vs
+        J-form 34.4 ms per assembly, diag drift 1.1e-07;
+        benchmarks/logs/attrib-large-n.log) and exactness-pinned against
+        the J-form einsums in tests/test_solver.py.  Non-band consumers
+        (dense fused branch, per-factor linearize) resolve 'moments' to
+        the identical closed-form J themselves (factors.py)."""
         if self.assembly == "moments":
             if self._layout is None:
                 # Moment-form accumulation is defined on the banded layout;
@@ -457,7 +462,7 @@ class Solver:
             return "moments"
         if self.assembly == "jacobian":
             return True
-        return True
+        return "moments" if self._layout is not None else True
 
     def _staged_sweep_plan(self, w_min: int, w_max: int, use_band: bool):
         """Window-range plan for the fused sweep:

@@ -313,9 +313,13 @@ def _run(args):
             mb = os.path.getsize(bag) / 1e6
             ingest_cfg = cfg.replace(lidar_topic="/scan", odom_topic="/odom",
                                      pose_number=float(n_bag))
-            t0 = time.perf_counter()
-            raw = process_bag_file(bag, ingest_cfg, verbose=False)
-            dt = time.perf_counter() - t0
+            # Best of 2: the first call pays one-time costs (native .so
+            # self-build, cold page cache) that are not ingest throughput.
+            dt = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                raw = process_bag_file(bag, ingest_cfg, verbose=False)
+                dt = min(dt, time.perf_counter() - t0)
             ingest_mb_s = mb / dt
             ingest_msgs_s = len(msgs) / dt
             ingest_nodes = int(raw.points.shape[0])

@@ -82,6 +82,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                      ctypes.POINTER(ctypes.c_double)]
     lib.nt_bag_scan_ranges.argtypes = [ctypes.c_void_p, ctypes.c_long,
                                        ctypes.POINTER(ctypes.c_float)]
+    lib.nt_bag_scan_meta_all.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_double)]
+    lib.nt_bag_scan_ranges_all.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_float)]
     lib.nt_bag_odoms.argtypes = [ctypes.c_void_p,
                                  ctypes.POINTER(ctypes.c_double)]
     lib.nt_bag_cobots.argtypes = [ctypes.c_void_p,
@@ -115,24 +119,31 @@ def read_bag_native(path, lidar_topic: str,
             raise ValueError(f"native bag parse failed: {err.decode()}")
         entries = []
         n_scans = lib.nt_bag_num_scans(handle)
-        meta = (ctypes.c_double * 9)()
-        for i in range(n_scans):
-            lib.nt_bag_scan_meta(handle, i, meta)
-            k = int(meta[6])
-            ranges = np.empty(k, np.float32)
-            if k:
-                lib.nt_bag_scan_ranges(
-                    handle, i,
-                    ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-            msg = LaserScanMsg(
-                header=HeaderMsg(0, meta[0], "laser"),
-                angle_min=meta[1], angle_max=meta[2], angle_increment=meta[3],
-                time_increment=0.0, scan_time=0.0,
-                range_min=meta[4], range_max=meta[5],
-                ranges=ranges, intensities=np.zeros(0, np.float32))
-            entries.append((meta[8], int(meta[7]),
-                            BagMessage(lidar_topic, LaserScanMsg.TYPE,
-                                       meta[0], msg)))
+        if n_scans:
+            # Two batched calls instead of 2*n_scans ctypes round-trips;
+            # each scan's ranges become a view into one shared buffer.
+            meta = np.empty((n_scans, 9), np.float64)
+            lib.nt_bag_scan_meta_all(handle, meta.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)))
+            counts = meta[:, 6].astype(np.int64)
+            flat = np.empty(int(counts.sum()), np.float32)
+            if flat.size:
+                lib.nt_bag_scan_ranges_all(handle, flat.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)))
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            no_intensities = np.zeros(0, np.float32)
+            for i in range(n_scans):
+                m = meta[i]
+                msg = LaserScanMsg(
+                    header=HeaderMsg(0, m[0], "laser"),
+                    angle_min=m[1], angle_max=m[2], angle_increment=m[3],
+                    time_increment=0.0, scan_time=0.0,
+                    range_min=m[4], range_max=m[5],
+                    ranges=flat[offsets[i]:offsets[i + 1]],
+                    intensities=no_intensities)
+                entries.append((m[8], int(m[7]),
+                                BagMessage(lidar_topic, LaserScanMsg.TYPE,
+                                           m[0], msg)))
         n_od = lib.nt_bag_num_odoms(handle)
         if n_od:
             buf = np.empty((n_od, 10), np.float64)

@@ -437,6 +437,25 @@ void nt_bag_scan_ranges(void* h, long i, float* out) {
   std::memcpy(out, s.ranges.data(), 4 * s.ranges.size());
 }
 
+// Batched variants: one call for every scan, so the Python wrapper pays
+// two ctypes round-trips instead of 2*n_scans.  meta_all writes [n, 9]
+// rows in nt_bag_scan_meta order; ranges_all concatenates all range
+// arrays (caller sizes the buffer from the meta nranges column and
+// splits on its prefix sums).
+void nt_bag_scan_meta_all(void* h, double* out) {
+  Bag* bag = static_cast<Bag*>(h);
+  for (size_t i = 0; i < bag->scans.size(); i++)
+    nt_bag_scan_meta(h, static_cast<long>(i), out + 9 * i);
+}
+
+void nt_bag_scan_ranges_all(void* h, float* out) {
+  Bag* bag = static_cast<Bag*>(h);
+  for (const Scan& s : bag->scans) {
+    std::memcpy(out, s.ranges.data(), 4 * s.ranges.size());
+    out += s.ranges.size();
+  }
+}
+
 // out rows: [stamp, px, py, pz, qx, qy, qz, qw, order, rtime]
 void nt_bag_odoms(void* h, double* out) {
   Bag* bag = static_cast<Bag*>(h);

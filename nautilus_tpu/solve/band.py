@@ -363,6 +363,30 @@ def cr_solve_tridiag(fac: CRFactorization, r):
     return x[:K0]
 
 
+# Below this node count the scan and CR backends are within dispatch
+# noise of each other on device and the scan's smaller program wins by
+# default; above it, block cyclic reduction's log-depth factorization
+# pulls ahead of the sequential scan (N=5000: 27.5 vs 30.2 ms, N=20000:
+# 37.8 vs 51.3 ms — benchmarks/logs/superblock-20000-fine.log).
+CR_MIN_NODES = 2000
+
+
+def resolve_band_plan(n: int, w: int, superblock=None, method: str = "auto"):
+    """Resolve (superblock, method) for the block-tridiagonal backend.
+
+    method='auto' picks cyclic reduction at large N (see CR_MIN_NODES)
+    and the sequential scan below; superblock=None picks the measured
+    best size per backend (CR is fastest at the smallest superblock —
+    log-depth makes more, smaller levels cheap — while the scan is flat
+    in s and 16 keeps its program small).  Explicit values pass through.
+    """
+    if method == "auto":
+        method = "cr" if n >= CR_MIN_NODES else "scan"
+    if superblock is None:
+        superblock = 8 if method == "cr" else 16
+    return max(superblock, w), method
+
+
 def band_factor(sys: BandedSystem, s: int,
                 method: str = "scan") -> BandFactorization:
     A, B, K, pad_n = _superblock_tridiag(sys, s)
@@ -416,7 +440,8 @@ def _make_node_inverse(sysg: BandedSystem, fac):
 
 
 def band_inverse_node_columns(sys: BandedSystem, fixed, cols,
-                              reg: float = 1e-8, superblock: int = 16):
+                              reg: float = 1e-8, superblock=None,
+                              method: str = "auto"):
     """Node-block columns of H^{-1}: returns [3N, m] = (H^{-1})[:3N, cols].
 
     cols: [m] int32 node-dof indices (< 3N).  The covariance engine of
@@ -434,8 +459,8 @@ def band_inverse_node_columns(sys: BandedSystem, fixed, cols,
     # Tikhonov guard (matches matcher._gauged_cholesky's 1e-8 eye).
     diag = sysg.diag + reg * jnp.eye(3, dtype=sysg.diag.dtype)
     sysg = sysg._replace(diag=diag)
-    s = max(superblock, sysg.w)
-    fac = band_factor(sysg, s)
+    s, method = resolve_band_plan(n, sysg.w, superblock, method)
+    fac = band_factor(sysg, s, method)
     node_inverse = _make_node_inverse(sysg, fac)
     m = cols.shape[0]
     rhs = (jnp.arange(3 * n)[:, None] == cols[None, :]).astype(
@@ -456,7 +481,7 @@ def band_inverse_node_columns(sys: BandedSystem, fixed, cols,
 
 
 def solve_damped_banded(sys: BandedSystem, fixed, radius, params,
-                        superblock: int = 16, method: str = "scan"):
+                        superblock=None, method: str = "auto"):
     """Solve (H + D/radius) dx = -g in band(+border, +low-rank) form.
 
     Mirrors lm._solve_damped: LM-scaled damping on the clipped diagonal
@@ -486,7 +511,7 @@ def solve_damped_banded(sys: BandedSystem, fixed, radius, params,
     diag = sysg.diag + jax.vmap(jnp.diag)(dvec / radius)
     dsys = sysg._replace(diag=diag)
 
-    s = max(superblock, sysg.w)
+    s, method = resolve_band_plan(n, sysg.w, superblock, method)
     fac = band_factor(dsys, s, method)
     node_inverse = _make_node_inverse(dsys._replace(U=sysg.U), fac)
 

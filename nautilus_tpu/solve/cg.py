@@ -197,7 +197,9 @@ def lm_solve_cg(x0, graph: FactorGraph, fixed_dof,
             dsys = sysg._replace(
                 diag=sysg.diag
                 + jax.vmap(jnp.diag)(d[:3 * n_nodes].reshape(n_nodes, 3)))
-            fac = band_factor(dsys, max(16, layout.w))
+            from nautilus_tpu.solve.band import resolve_band_plan
+            s_pre, m_pre = resolve_band_plan(n_nodes, layout.w)
+            fac = band_factor(dsys, s_pre, m_pre)
 
             def precond(v):
                 v = project(v)

@@ -200,7 +200,7 @@ def _lm_step_jit(state, graph: FactorGraph, fixed_dof, params: LMParams,
 
 
 def _lm_body_banded(state, assemble_fn, fixed_dof, params: LMParams,
-                    superblock: int, method: str = "scan"):
+                    superblock=None, method: str = "auto"):
     """One LM step on a block-banded system (solve/band.py): identical
     trust-region schedule to _lm_body, but the damped solve is a block
     tridiagonal Cholesky and H is never dense."""
@@ -240,7 +240,7 @@ def _lm_body_banded(state, assemble_fn, fixed_dof, params: LMParams,
 
 def lm_loop_banded(x0, assemble_fn, fixed_dof,
                    params: LMParams = LMParams(),
-                   superblock: int = 16, method: str = "scan") -> LMResult:
+                   superblock=None, method: str = "auto") -> LMResult:
     """LM loop where assemble_fn(x) -> (BandedSystem, cost).  The loop
     carry holds the O(N w) band instead of the O(N^2) dense H — both
     faster (no dense materialization/copies per iteration) and the key
@@ -275,8 +275,8 @@ def lm_loop_banded(x0, assemble_fn, fixed_dof,
                                              "method"))
 def lm_solve_banded(x0, graph: FactorGraph, fixed_dof,
                     params: LMParams = LMParams(), layout=None,
-                    superblock: int = 16, analytic: bool = True,
-                    lr=None, method: str = "scan") -> LMResult:
+                    superblock=None, analytic: bool = True,
+                    lr=None, method: str = "auto") -> LMResult:
     """Run LM to convergence with the block-band linear solver.
 
     Requires the delta-major correspondence layout and every in-graph

@@ -348,6 +348,48 @@ def test_lm_band_cr_matches_scan():
                                rtol=5e-3, atol=5e-4)
 
 
+def test_band_plan_auto_resolution():
+    """method='auto' picks the scan below CR_MIN_NODES and block cyclic
+    reduction above (device A/B: benchmarks/logs/superblock-20000-fine.log);
+    superblock=None picks the per-backend measured best; explicit values
+    pass through untouched."""
+    from nautilus_tpu.solve.band import CR_MIN_NODES, resolve_band_plan
+    assert resolve_band_plan(100, 3) == (16, "scan")
+    assert resolve_band_plan(CR_MIN_NODES, 3) == (8, "cr")
+    assert resolve_band_plan(CR_MIN_NODES, 12) == (12, "cr")  # >= bandwidth
+    assert resolve_band_plan(50000, 3, superblock=32,
+                             method="scan") == (32, "scan")
+    assert resolve_band_plan(10, 3, method="cr") == (8, "cr")
+
+
+def test_damped_band_solve_auto_is_cr_at_scale():
+    """solve_damped_banded(method='auto') at N >= CR_MIN_NODES routes
+    through cyclic reduction and matches the explicit scan backend on a
+    synthetic SPD band (full-problem CR parity at small N is covered by
+    test_lm_band_cr_matches_scan)."""
+    import jax.numpy as jnp
+    from nautilus_tpu.solve.band import (BandedSystem, CR_MIN_NODES,
+                                         solve_damped_banded)
+    n, w = CR_MIN_NODES, 2
+    rng = np.random.RandomState(7)
+    diag = np.tile(8.0 * np.eye(3, dtype=np.float32), (n, 1, 1))
+    sym = 0.1 * rng.randn(n, 3, 3).astype(np.float32)
+    diag += 0.5 * (sym + sym.transpose(0, 2, 1))
+    band = 0.2 * rng.randn(w, n, 3, 3).astype(np.float32)
+    for d in range(1, w + 1):
+        band[d - 1, :d] = 0.0  # block (i, i-d) undefined for i < d
+    g = rng.randn(n, 3).astype(np.float32)
+    sys = BandedSystem(diag=jnp.asarray(diag), band=jnp.asarray(band),
+                       g=jnp.asarray(g), C=None, E=None, gl=None)
+    fixed = jnp.zeros(3 * n, bool).at[:3].set(True)
+    radius = jnp.asarray(1e4, jnp.float32)
+    dx_auto, _, _ = solve_damped_banded(sys, fixed, radius, LMParams())
+    dx_scan, _, _ = solve_damped_banded(sys, fixed, radius, LMParams(),
+                                        superblock=16, method="scan")
+    np.testing.assert_allclose(np.asarray(dx_auto), np.asarray(dx_scan),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_staged_fused_sweep_matches_unstaged():
     """The staged fused sweep (early windows in a half-width program over
     the delta-major pair PREFIX, solver._staged_sweep_plan) must produce

@@ -348,6 +348,29 @@ def test_lm_band_cr_matches_scan():
                                rtol=5e-3, atol=5e-4)
 
 
+def test_inverse_node_columns_cr_matches_scan():
+    """H^-1 node columns (the LC covariance path, matcher.py) through the
+    cyclic-reduction backend match the scan backend, including the HITL
+    Schur border — band_inverse_node_columns defaults to method='auto',
+    which is CR at large N."""
+    from nautilus_tpu.solve.band import band_inverse_node_columns
+
+    solver, x, graph = _setup(with_hitl=True)
+    layout = solver._layout
+    sysb, _ = assemble_banded_system(x, graph, layout)
+    n = layout.n
+    L = sysb.num_lines
+    fixed = jnp.repeat(jnp.arange(n + L) == 0, 3)
+    cols = jnp.asarray([3 * 2, 3 * 2 + 1, 3 * 2 + 2,
+                        3 * (n - 2), 3 * (n - 2) + 1], jnp.int32)
+    X_scan = band_inverse_node_columns(sysb, fixed, cols,
+                                       superblock=4, method="scan")
+    X_cr = band_inverse_node_columns(sysb, fixed, cols,
+                                     superblock=4, method="cr")
+    np.testing.assert_allclose(np.asarray(X_cr), np.asarray(X_scan),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_band_plan_auto_resolution():
     """method='auto' picks the scan below CR_MIN_NODES and block cyclic
     reduction above (device A/B: benchmarks/logs/superblock-20000-fine.log);

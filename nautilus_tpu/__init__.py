@@ -27,8 +27,42 @@ import os as _os
 # start in seconds.  Set before jax reads its config (first jax import may
 # already have happened via sitecustomize; jax also re-reads this config key
 # lazily, so set both the env var and, if jax is loaded, the config).
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       _os.path.expanduser("~/.cache/jax_nautilus"))
+#
+# CPU-platform processes (the test suite and the multichip dryrun child
+# both export JAX_PLATFORMS=cpu before jax initializes) get a subdirectory
+# keyed by a CPU-feature fingerprint: XLA:CPU stores AOT artifacts
+# specialized to the compile host's machine features, and loading them on a
+# host with a different feature set is flagged as a potential SIGILL by
+# cpu_aot_loader.  TPU-lane processes keep the shared directory so the
+# relay-compiled solver/CSM programs stay warm across hosts.
+
+_CACHE_BASE = _os.path.expanduser("~/.cache/jax_nautilus")
+
+
+def _host_cache_key():
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except Exception:
+        pass
+    import platform as _platform
+    return (_platform.node() or "default").replace(_os.sep, "_")
+
+
+def _cache_dir():
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return _os.path.join(_CACHE_BASE, "cpu-" + _host_cache_key())
+    return _CACHE_BASE
+
+
+_cur = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+if _cur is None or _cur == _CACHE_BASE or _cur.startswith(_CACHE_BASE + _os.sep):
+    # Unset, or a value this module itself chose (possibly inherited from a
+    # parent process on the other platform) — (re)derive for this process.
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir()
 try:  # pragma: no cover - depends on import order
     import jax as _jax
     _jax.config.update("jax_compilation_cache_dir",

@@ -69,6 +69,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
     except OSError:
         _build_failed = True
         return None
+    try:
+        return _bind(lib)
+    except AttributeError:
+        # Stale pre-batched-ABI .so the mtime check didn't catch (e.g. a
+        # copy that preserved timestamps, or a build without the source
+        # present).  Rebuild so FUTURE processes load a current library
+        # (re-dlopening the same path here could dedupe to the stale
+        # mapping), and honor the documented None -> pure-Python-fallback
+        # contract for this one instead of crashing ingest.
+        if _SRC_PATH.exists():
+            _build()
+        _build_failed = True
+        return None
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare the ABI; raises AttributeError on a stale library."""
+    global _lib
     lib.nt_bag_parse.restype = ctypes.c_void_p
     lib.nt_bag_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                  ctypes.c_char_p]

@@ -145,16 +145,32 @@ def scorer_self_check(state, score_fn, n_probe: int = 12,
     if extent <= 1e-6:
         return None
     rng = np.random.default_rng(0)
-    # Far pairs by rejection sampling — never materializes the O(N^2)
-    # distance matrix (3+ GB at N=20000).
-    far_pairs = []
-    for i, j in zip(rng.integers(0, n, 60 * n_probe),
-                    rng.integers(0, n, 60 * n_probe)):
-        if abs(int(i) - int(j)) >= 2 and \
-                np.linalg.norm(sol[i] - sol[j]) >= far_frac * extent:
-            far_pairs.append((int(i), int(j)))
-            if len(far_pairs) >= n_probe:
-                break
+    # Far pairs without the O(N^2) distance matrix (3+ GB at N=20000):
+    # one vectorized distance row per SOURCE node.  Sources start from
+    # the bounding-box extremes — the wider-axis extreme pair is at
+    # least bbox_side >= extent/sqrt(2) apart, so for far_frac <= 0.7 a
+    # far pair is found deterministically whenever one exists (pure
+    # rejection sampling could miss rare far pairs on thin-spur maps
+    # and silently flip the descriptor-gate adjudication to None).
+    span = sol.max(0) - sol.min(0)
+    a = int(span[1] > span[0])
+    seeds = [int(np.argmin(sol[:, a])), int(np.argmax(sol[:, a])),
+             int(np.argmin(sol[:, 1 - a])), int(np.argmax(sol[:, 1 - a]))]
+    seeds += [int(s) for s in rng.integers(0, n, 32)]
+    far_pairs, seen_far = [], set()
+    node_idx = np.arange(n)
+    for s in seeds:
+        if len(far_pairs) >= n_probe:
+            break
+        d = np.linalg.norm(sol - sol[s], axis=1)
+        js = np.nonzero((d >= far_frac * extent)
+                        & (np.abs(node_idx - s) >= 2))[0]
+        for j in js[np.argsort(-d[js])[:4]]:
+            key = (min(s, int(j)), max(s, int(j)))
+            if key not in seen_far:
+                seen_far.add(key)
+                far_pairs.append((s, int(j)))
+    far_pairs = far_pairs[:n_probe]
     if not far_pairs:
         return None
     near_i = rng.choice(n - 1, size=min(n_probe, n - 1), replace=False)
@@ -250,12 +266,17 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     # covariance evaluation.
     base_range = float(cfg.get("lc_base_max_range", 3.5))
     range_scaling = float(cfg.get("lc_max_range_scaling", 0.01))
-    pos = state.solution[:, :2]
+    pos = np.asarray(state.solution[:, :2])
+    cand_arr = np.asarray(candidates, np.int64)
+    cand_pos = pos[cand_arr]
     seen = set()
-    for s in candidates:
-        within = [t for t in candidates if t != s
-                  and np.linalg.norm(pos[s] - pos[t])
-                  <= base_range + range_scaling * abs(s - t)]
+    for idx, s in enumerate(candidates):
+        # One vectorized norm per source (not a Python-level norm per
+        # ordered pair — that is millions of interpreter calls at GDC
+        # candidate counts).
+        d = np.linalg.norm(cand_pos - cand_pos[idx], axis=1)
+        limit = base_range + range_scaling * np.abs(cand_arr - s)
+        within = [int(t) for t in cand_arr[(d <= limit) & (cand_arr != s)]]
         if not within:
             continue
         for t in matcher.get_possible_matches(s, within):

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from nautilus_tpu.solve.factors import (FactorGraph, _graph_factor_terms,
                                         total_cost, HIGHEST)
-from nautilus_tpu.solve.lm import LMParams, LMResult
+from nautilus_tpu.solve.lm import LMParams, LMResult, mean_step_metric
 
 
 class CGParams(NamedTuple):
@@ -266,6 +266,11 @@ def lm_solve_cg(x0, graph: FactorGraph, fixed_dof,
         x2 = jnp.where(accept, x_new, x)
         converged = accept & (jnp.abs(actual)
                               <= params.function_tolerance * cost)
+        if params.step_tolerance > 0:
+            # Same mean-step stop as the dense/band bodies
+            # (accuracy_change_stop_threshold; lm.mean_step_metric).
+            converged = converged | (accept & (mean_step_metric(dx, params)
+                                               <= params.step_tolerance))
         # Warm-start the next CG from this step when accepted (the next
         # linearization is nearby); from zero after a rejection (the next
         # system is more heavily damped).

@@ -47,6 +47,12 @@ class LMParams(NamedTuple):
     # which on the relay directly saves per-iteration device time).
     # 0 disables.
     step_tolerance: float = 0.0
+    # Number of leading dof entries the mean-step criterion averages over
+    # (Solver passes 3 * num_nodes so padded HITL line-pose slots — which
+    # are structurally zero — cannot dilute the mean; the CPU twin's
+    # criterion is nodes-only, baseline/cpu_reference.py lm_solve).
+    # 0 = average over the full dof vector.
+    step_dof: int = 0
     min_relative_decrease: float = 1e-3
     initial_radius: float = 1e4
     max_radius: float = 1e16
@@ -83,6 +89,16 @@ def _solve_damped(H, g, fixed_dof, radius, params: LMParams):
     c, low = jsl.cho_factor(A)
     dx = jsl.cho_solve((c, low), -gg)
     return dx, Hg, gg
+
+
+def mean_step_metric(dx, params: LMParams):
+    """Mean |dx| for the step_tolerance stop, over the leading
+    params.step_dof dof entries (node dof only when set by Solver —
+    excludes padded line-pose slots); the one copy shared by the dense,
+    banded, and CG LM bodies (parity with the CPU twin's np.mean)."""
+    flat = dx.reshape(-1)
+    k = params.step_dof if params.step_dof > 0 else flat.shape[0]
+    return jnp.sum(jnp.abs(flat[:k])) / k
 
 
 def _lm_cond(state, params: LMParams):
@@ -133,7 +149,7 @@ def _lm_body(state, assemble_fn, cost_fn, fixed_dof, params: LMParams):
     finite = jnp.all(jnp.isfinite(dx)) & jnp.isfinite(new_cost)
     accept, radius_new, divisor_new, converged = _trust_region_update(
         cost, new_cost, model_decrease, finite, radius, divisor, params,
-        x.dtype, mean_step=jnp.mean(jnp.abs(dx)))
+        x.dtype, mean_step=mean_step_metric(dx, params))
 
     # Re-assemble only on accepted steps.
     H2, g2, cost2 = jax.lax.cond(
@@ -229,7 +245,7 @@ def _lm_body_banded(state, assemble_fn, fixed_dof, params: LMParams,
     finite = jnp.all(jnp.isfinite(step)) & jnp.isfinite(new_cost)
     accept, radius_new, divisor_new, converged = _trust_region_update(
         cost, new_cost, model_decrease, finite, radius, divisor, params,
-        x.dtype, mean_step=jnp.mean(jnp.abs(step)))
+        x.dtype, mean_step=mean_step_metric(step, params))
 
     sys2 = jax.tree.map(
         lambda a, b: jnp.where(accept, a, b), sys_new, sys)

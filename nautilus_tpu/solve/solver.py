@@ -134,7 +134,10 @@ class Solver:
         # criterion; lm.LMParams.step_tolerance).
         self.lm_params = lm_params or LMParams(
             step_tolerance=float(
-                config.get("accuracy_change_stop_threshold", 0.0)))
+                config.get("accuracy_change_stop_threshold", 0.0)),
+            # Mean-step averages node dof only (padded HITL line-pose
+            # slots are structurally zero and would dilute it).
+            step_dof=3 * state.num_nodes)
         self.use_normal_gate = use_normal_gate
         self.per_iteration_viz = per_iteration_viz and visualizer is not None
         self._viz_window = None
@@ -291,9 +294,12 @@ class Solver:
         cached = getattr(self, "_odom_cache", None)
         if (cached is not None
                 and cached[0] is self.state.odometry_factors
-                and cached[1] == lc_key
-                and cached[2] == exclude_long_range):
-            return cached[3]
+                and cached[1] == lc_key):
+            hit = cached[2].get(exclude_long_range)
+            if hit is not None:
+                return hit
+        else:
+            cached = None
         cfg = self.config
         lc = self._split_lc()[0] if exclude_long_range else None
         odom = odom_factors_from_state(self.state, self._dtype(),
@@ -311,8 +317,13 @@ class Solver:
                 mask=jnp.pad(odom.mask, (0, pad)),
                 wt=jnp.pad(odom.wt, (0, pad)),
                 wr=jnp.pad(odom.wr, (0, pad)))
-        self._odom_cache = (self.state.odometry_factors,
-                            lc_key, exclude_long_range, odom)
+        if cached is None:
+            cached = (self.state.odometry_factors, lc_key, {})
+            self._odom_cache = cached
+        # Both exclude_long_range variants live in the entry: the CG path
+        # requests them alternately every window (full graph + band
+        # preconditioner subset) and must not thrash.
+        cached[2][exclude_long_range] = odom
         return odom
 
     def _long_range_factors(self):
@@ -574,8 +585,10 @@ class Solver:
                                  exclude_long_range=solver_kind == "band")
         if solver_kind == "cg":
             from nautilus_tpu.solve.cg import lm_solve_cg
-            bg = (self.build_graph(x, w, optimization_type,
-                                   exclude_long_range=True)
+            # The band-preconditioner graph differs from `graph` only in
+            # the odom factor batch (long-range factors excluded) — reuse
+            # the association work instead of a second build_graph.
+            bg = (graph._replace(odom=self._odom_factors(True))
                   if self._odom_within_band() else None)
             res = lm_solve_cg(x, graph, fixed, params=self.lm_params,
                               band_graph=bg,
@@ -630,9 +643,9 @@ class Solver:
                                      pairs=(ps, pt))
             if solver_kind == "cg":
                 from nautilus_tpu.solve.cg import lm_solve_cg
-                bg = (self.build_graph(x, window, optimization_type,
-                                       exclude_long_range=True,
-                                       pairs=(ps, pt))
+                # Same association, band-subset odom batch (see
+                # solve_max_window).
+                bg = (graph._replace(odom=self._odom_factors(True))
                       if self._odom_within_band() else None)
                 res: LMResult = lm_solve_cg(
                     x, graph, fixed, params=self.lm_params,

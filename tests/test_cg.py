@@ -186,3 +186,33 @@ class TestBandPreconditioner:
         assert np.isfinite(stats.final_cost)
         for ws in stats.windows:
             assert ws.final_cost <= ws.initial_cost + 1e-6
+
+
+class TestCGStepTolerance:
+    """lm_solve_cg honors LMParams.step_tolerance (the
+    accuracy_change_stop_threshold stop the dense/band bodies implement
+    — same contract, lm.mean_step_metric)."""
+
+    def test_large_threshold_collapses_iterations(self, setup):
+        from nautilus_tpu.solve.lm import LMParams
+        x, graph = setup
+        fixed = fixed_pose_mask(3 * x.shape[0])
+        free = lm_solve_cg(x, graph, fixed)
+        stop = lm_solve_cg(x, graph, fixed,
+                           params=LMParams(step_tolerance=1e9))
+        # Huge tolerance: converged on the first accepted step.
+        assert int(stop.iterations) < int(free.iterations)
+        assert bool(stop.converged)
+        assert float(stop.cost) < float(stop.initial_cost)
+
+
+def test_mean_step_metric_ignores_padded_slots():
+    """step_dof restricts the mean to node dof: padded HITL line-pose
+    slots (structurally zero) must not dilute the criterion (parity with
+    the CPU twin's nodes-only np.mean, cpu_reference.py lm_solve)."""
+    from nautilus_tpu.solve.lm import LMParams, mean_step_metric
+    dx = jnp.concatenate([jnp.full((30,), 2.0), jnp.zeros((24,))])
+    diluted = mean_step_metric(dx, LMParams())
+    nodes_only = mean_step_metric(dx, LMParams(step_dof=30))
+    assert float(nodes_only) == pytest.approx(2.0)
+    assert float(diluted) == pytest.approx(2.0 * 30 / 54)

@@ -100,11 +100,70 @@ def _emit_outage_json(reason):
     print(json.dumps(out))
 
 
+def _provenance(args):
+    """Run provenance (ADVICE r4): CPU baselines swing with host load and
+    engine changes, so cross-snapshot speedups are only comparable when the
+    record says what produced them."""
+    prov = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "cpu_csm_pairs": args.cpu_csm_pairs}
+    try:
+        import platform
+        prov["host_cpu"] = platform.processor() or platform.machine()
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    prov["host_cpu"] = line.split(":", 1)[1].strip()
+                    break
+    except Exception:
+        pass
+    try:
+        prov["loadavg_1m"] = round(os.getloadavg()[0], 1)
+    except Exception:
+        pass
+    try:
+        head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              cwd=_HERE, capture_output=True, text=True,
+                              timeout=10)
+        if head.returncode == 0:
+            prov["commit"] = head.stdout.strip()
+    except Exception:
+        pass
+    return prov
+
+
+# Metrics where a big swing between consecutive last-good records deserves a
+# visible flag instead of a silent overwrite (ADVICE r4: the 3.4x cold-start
+# regression vanished into the record).  (key, higher_is_better).
+_WATCHED = [("value", True), ("tpu_wall_s", False), ("tpu_cold_wall_s", False),
+            ("hitl_callback_s", False), ("hitl_cold_s", False),
+            ("scan_match_pairs_per_s", True), ("ingest_mb_s", True)]
+
+
 def _save_last_good(record):
     try:
         os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
+        prev = None
+        try:
+            with open(_LAST_GOOD) as f:
+                prev = json.load(f)
+        except Exception:
+            pass
+        if isinstance(prev, dict):
+            for key, hib in _WATCHED:
+                a, b = prev.get(key), record.get(key)
+                if not (isinstance(a, (int, float)) and
+                        isinstance(b, (int, float)) and a > 0 and b > 0):
+                    continue
+                ratio = (a / b) if hib else (b / a)
+                if ratio > 2.0:
+                    print(f"warning: bench regression vs last-good: {key} "
+                          f"{a} -> {b} ({ratio:.1f}x worse)", file=sys.stderr)
         with open(_LAST_GOOD, "w") as f:
             json.dump(record, f, indent=1)
+        # Append-only history so overwrites never lose a snapshot.
+        with open(os.path.join(_HERE, "benchmarks",
+                               "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
     except Exception as exc:  # never let bookkeeping fail the bench
         print(f"warning: could not save last-good record: {exc}",
               file=sys.stderr)
@@ -408,6 +467,7 @@ def _run(args):
         "ingest_msgs_s": (round(ingest_msgs_s, 0)
                           if ingest_msgs_s == ingest_msgs_s else None),
         "ingest_nodes": ingest_nodes,
+        "provenance": _provenance(args),
     }
     print(json.dumps(record))
     if not args.quick and not args.skip_cpu:

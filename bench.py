@@ -325,7 +325,8 @@ def _run(args):
     # --- HITL curation step (the headline gdc workload): one scripted
     # colinearity constraint -> selection + densified odometry + 2 solves.
     from nautilus_tpu.io.checkpoint import save_state  # noqa: F401 (API smoke)
-    from nautilus_tpu.solve.hitl import HitlSlamInputMsg, hitl_callback
+    from nautilus_tpu.solve.hitl import (HitlSlamInputMsg, hitl_callback,
+                                         prewarm_hitl)
     hitl_cfg = cfg.replace(hitl_line_width=0.3)
     solver.config = hitl_cfg
     msg = HitlSlamInputMsg.from_points((-19, -15), (19, -15),
@@ -336,10 +337,13 @@ def _run(args):
         state.hitl_constraints.clear()
         state.line_poses = state.line_poses[:0]
 
-    # Warm-up pass compiles the HITL-shaped programs; the timed pass then
-    # measures the steady-state curation step (the reference's C++ has no
-    # per-shape compile cost, so steady state is the fair comparison).
-    # The first-pass wall is reported as the cold-start number.
+    # Prewarm compiles the HITL-shaped programs on a throwaway state copy
+    # — the product does this in a background thread while waiting for
+    # operator input (cli.py), so the operator-visible cold number is the
+    # first callback AFTER prewarm.  Uses the DEFAULT prewarm message (not
+    # the scripted one) so the measurement covers the real mechanism: the
+    # padded factor buckets, not an exact-shape replay.
+    hitl_prewarm_wall = prewarm_hitl(solver)
     t0 = time.perf_counter()
     hitl_callback(solver, msg, verbose=False)
     hitl_cold_wall = time.perf_counter() - t0
@@ -425,6 +429,23 @@ def _run(args):
     from nautilus_tpu.utils.metrics import ate
     ate_before = ate(np.asarray(x0), gt)["trans_rmse"]
     ate_after = ate(np.asarray(x_tpu), gt)["trans_rmse"]
+    # The CPU twin's ATE proves any solve-vs-odometry ATE regression is
+    # algorithm-inherited (windowed scan alignment tightens local
+    # consistency, not global drift), not engine-introduced.
+    ate_cpu = (ate(np.asarray(x_cpu), gt)["trans_rmse"]
+               if not args.skip_cpu else float("nan"))
+
+    # --- Closed-loop leg: the system's actual map-improvement mechanism
+    # (reference SolveAutoLC, solver.cc:676-700, with the stubbed apply
+    # path completed): solve -> auto-LC candidate/gate/CSM -> apply
+    # accepted relative-pose factors -> re-solve at max window.  The
+    # deliverable metric is ate_m_closed < ate_m_odometry.
+    from nautilus_tpu.loop_closure.auto_lc import solve_auto_lc
+    state.solution = x_tpu.copy()
+    t0 = time.perf_counter()
+    lc_report = solve_auto_lc(solver, apply=True, verbose=False)
+    auto_lc_wall = time.perf_counter() - t0
+    ate_closed = ate(np.asarray(state.solution), gt)["trans_rmse"]
 
     speedup = cpu_wall / tpu_wall if not args.skip_cpu else float("nan")
     record = {
@@ -440,6 +461,13 @@ def _run(args):
         "cost_parity_pct": round(parity_pct, 3) if parity_pct == parity_pct else None,
         "ate_m_odometry": round(ate_before, 4),
         "ate_m_solved": round(ate_after, 4),
+        "ate_m_solved_cpu": (round(ate_cpu, 4)
+                             if ate_cpu == ate_cpu else None),
+        "ate_m_closed": round(ate_closed, 4),
+        "auto_lc_s": round(auto_lc_wall, 2),
+        "lc_candidates": len(lc_report.candidates),
+        "lc_gated_pairs": len(lc_report.gated_pairs),
+        "lc_accepted": len(lc_report.accepted),
         "scan_match_pairs_per_s": round(scan_match_pairs_per_s, 1),
         "scan_match_pairs_per_s_12m": round(scan_match_pairs_per_s_12m, 1),
         "scan_match_pairs_per_s_pair_major": round(scan_match_pairs_per_s_pm,
@@ -457,6 +485,7 @@ def _run(args):
         "peak_tflops_assumed": peak_flops / 1e12,
         "hitl_callback_s": round(hitl_wall, 2),
         "hitl_cold_s": round(hitl_cold_wall, 2),
+        "hitl_prewarm_s": round(hitl_prewarm_wall, 2),
         "tpu_cold_wall_s": round(tpu_cold_wall, 2),
         "cpu_hitl_s": (round(cpu_hitl_wall, 2)
                        if cpu_hitl_wall == cpu_hitl_wall else None),

@@ -40,16 +40,28 @@ _CACHE_BASE = _os.path.expanduser("~/.cache/jax_nautilus")
 
 
 def _host_cache_key():
+    """Key the CPU-lane cache by CPU flags + jaxlib version + XLA_FLAGS:
+    XLA:CPU AOT artifacts are specialized to all three, and the round-4/5
+    suite segfault traced to deserializing an entry produced under a
+    different combination (same cpuinfo, different XLA tuning flags)."""
+    import hashlib
+    h = hashlib.sha1()
     try:
-        import hashlib
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                    h.update(line.encode())
+                    break
+    except Exception:
+        import platform as _platform
+        h.update((_platform.node() or "default").encode())
+    try:
+        import jaxlib
+        h.update(getattr(jaxlib, "__version__", "?").encode())
     except Exception:
         pass
-    import platform as _platform
-    return (_platform.node() or "default").replace(_os.sep, "_")
+    h.update(_os.environ.get("XLA_FLAGS", "").encode())
+    return h.hexdigest()[:10]
 
 
 def _cache_dir():

@@ -92,6 +92,10 @@ def main(argv=None) -> int:
                     help="subscribe to the reference's command topics "
                          "(hitl_lc_topic, /write_output, /vectorize_output) "
                          "via rospy and spin (main.cc:204-213)")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="run the solve factor-sharded over the first N "
+                         "visible devices (overrides the mesh_devices "
+                         "config key; 0/1 = single-device)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
     verbose = not args.quiet
@@ -120,15 +124,53 @@ def main(argv=None) -> int:
         if not visualizer.available:
             print("--ros requested but rospy is not importable.")
             return 1
+    # Multi-chip: --devices flag > mesh_devices config key.  N > 1 routes
+    # the solve through the factor-sharded sweep (parallel/sharded.py) and
+    # auto-LC's CSM batch over the pair dimension.
+    mesh = None
+    n_mesh = args.devices if args.devices is not None else int(
+        cfg.get("mesh_devices", 0))
+    if n_mesh > 1:
+        import jax
+        avail = len(jax.devices())
+        if n_mesh > avail:
+            print(f"--devices/mesh_devices={n_mesh} but only {avail} "
+                  f"device(s) visible.")
+            return 1
+        from nautilus_tpu.parallel.sharded import default_mesh
+        mesh = default_mesh(n_mesh)
+        if verbose:
+            print(f"Sharding the solve over {n_mesh} devices "
+                  f"({jax.devices()[0].platform}).")
+
     solver = Solver(state, cfg, visualizer=visualizer,
                     linear_solver=cfg.get("linear_solver", "auto"),
-                    assembly=cfg.get("assembly", None) or None)
+                    assembly=cfg.get("assembly", None) or None,
+                    mesh=mesh)
     t0 = time.perf_counter()
     stats = solver.solve_slam()
     if verbose:
         print(f"Solved {state.num_nodes} poses in "
               f"{time.perf_counter() - t0:.2f}s; final cost "
               f"{stats.final_cost:.4f}.")
+
+    if args.interactive or args.ros:
+        # Compile the HITL-shaped programs while waiting for the operator:
+        # the first curation message then pays ~a warm solve instead of
+        # the full XLA compile (solve/hitl.prewarm_hitl).
+        import threading
+        from nautilus_tpu.solve.hitl import prewarm_hitl
+
+        def _prewarm():
+            try:
+                wall = prewarm_hitl(solver)
+                if verbose:
+                    print(f"(HITL programs prewarmed in {wall:.1f}s)")
+            except Exception as e:  # never let prewarm kill the session
+                if verbose:
+                    print(f"(HITL prewarm failed: {e})")
+
+        threading.Thread(target=_prewarm, daemon=True).start()
 
     if cfg.get("auto_lc", False):
         from nautilus_tpu.loop_closure.auto_lc import solve_auto_lc

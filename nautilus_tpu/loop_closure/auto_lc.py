@@ -330,8 +330,18 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     # GetTransformation, solver.cc:634-638): a reverse-traversal closure
     # (relative heading ~ pi) is otherwise outside the +-90 deg window.
     centers = wrap_angle(state.solution[ss, 2] - state.solution[tt, 2])
-    all_scores, all_transforms = csm_match_pairs(pts, msk, ss, tt, params,
-                                                 rotation_centers=centers)
+    mesh = getattr(solver, "mesh", None)
+    if mesh is not None:
+        # Multi-chip: the CSM batch is embarrassingly parallel over pairs
+        # (parallel.sharded.csm_match_pairs_sharded) — auto-LC's dominant
+        # cost scales with chip count.
+        from nautilus_tpu.parallel.sharded import csm_match_pairs_sharded
+        all_scores, all_transforms = csm_match_pairs_sharded(
+            pts, msk, ss, tt, mesh, params,
+            rotation_centers=np.asarray(centers, np.float32))
+    else:
+        all_scores, all_transforms = csm_match_pairs(
+            pts, msk, ss, tt, params, rotation_centers=centers)
     all_scores = np.asarray(all_scores)
     all_transforms = np.asarray(all_transforms, np.float64)
     # Best window member per original pair (window 0 = identity mapping).

@@ -107,7 +107,8 @@ class Solver:
                  per_iteration_viz: bool = False,
                  fused_sweep: Optional[bool] = None,
                  staged_fused: Optional[bool] = None,
-                 assembly: Optional[str] = None):
+                 assembly: Optional[str] = None,
+                 mesh=None):
         """linear_solver: 'band' (block-band Cholesky, solve/band.py —
         the default: fastest at every scale, O(N w) memory; HITL line
         poses solve as a Schur border and long-range loop closures as a
@@ -125,10 +126,19 @@ class Solver:
         after EVERY LM iteration (the reference's ceres::IterationCallback
         behavior, solver_vis.h:18-22) instead of once per window.  Routes
         the solve through the host-loop path and ships poses to the host
-        each step — for parity debugging, not production."""
+        each step — for parity debugging, not production.
+
+        mesh: a jax.sharding.Mesh with one 'factors' axis (e.g.
+        parallel.sharded.default_mesh(n)).  When set, solve_slam /
+        solve_max_window run the factor-sharded multi-chip sweep
+        (parallel/sharded.py: per-shard association + assembly, one psum
+        per LM step) and auto-LC's CSM batch shards over the pair dim.
+        Product surface: config key ``mesh_devices`` or the CLI
+        ``--devices`` flag (cli.py)."""
         self.state = state
         self.config = config
         self.visualizer = visualizer
+        self.mesh = mesh
         # accuracy_change_stop_threshold -> LM mean-step stop (the key's
         # documented "scans change by, on average, less than this"
         # criterion; lm.LMParams.step_tolerance).
@@ -419,6 +429,13 @@ class Solver:
         host round-trips between windows.
         """
         solver_kind = self._resolve_solver()
+        if self.mesh is not None:
+            if optimization_type == "feature" and not self.per_iteration_viz:
+                return self._solve_slam_sharded(solver_kind)
+            import warnings
+            warnings.warn("mesh set but the requested mode needs the "
+                          "single-device path (ALL-type or per-iteration "
+                          "viz); running single-device", stacklevel=2)
         eligible = (self.visualizer is None
                     and optimization_type == "feature"
                     and solver_kind in ("dense", "band")
@@ -569,6 +586,50 @@ class Solver:
         self._writeback(x)
         return stats
 
+    def _solve_slam_sharded(self, solver_kind: str,
+                            w_min: int = None,
+                            w_max: int = None) -> SolveStats:
+        """Multi-chip growing-window sweep over self.mesh
+        (parallel.sharded.sharded_sweep: factor-sharded association +
+        assembly, one psum per LM step).  Band form with Woodbury
+        long-range columns when band-eligible, dense otherwise (the
+        'cg' kind has no sharded engine yet and falls back to dense)."""
+        from nautilus_tpu.parallel.sharded import sharded_sweep
+        cfg = self.config
+        if w_min is None:
+            w_min = cfg.get_int("lidar_constraint_amount_min")
+        if w_max is None:
+            w_max = cfg.get_int("lidar_constraint_amount_max")
+        use_band = solver_kind == "band"
+        x = self._current_x()
+        fixed = self._fixed_mask()
+        odom = self._odom_factors(exclude_long_range=use_band)
+        lr = self._long_range_factors() if use_band else None
+        hitl = self._hitl_factors()
+        outlier = jnp.asarray(cfg.outlier_threshold, self._dtype())
+        t0 = time.perf_counter()
+        out = sharded_sweep(
+            x, self.state.problem, self._pair_src, self._pair_tgt, odom,
+            hitl, fixed, outlier, w_min, w_max, self.mesh, self.lm_params,
+            self.use_normal_gate, use_band, lr)
+        x_out, init_costs, final_costs, iters = jax.device_get(out)
+        wall = time.perf_counter() - t0
+        if not np.all(np.isfinite(x_out)):
+            raise FloatingPointError(
+                "Non-finite poses after sharded solve; "
+                "check odometry/scan inputs.")
+        stats = SolveStats()
+        per = wall / (w_max - w_min + 1)
+        for k in range(w_max - w_min + 1):
+            stats.windows.append(WindowStats(
+                window=w_min + k, initial_cost=float(init_costs[k]),
+                final_cost=float(final_costs[k]),
+                iterations=int(iters[k]), wall_s=per))
+        self._writeback(jnp.asarray(x_out))
+        if self.visualizer is not None:
+            self.visualizer.draw_solution(self.state, window=w_max)
+        return stats
+
     def solve_max_window(self, optimization_type: str = "feature") -> SolveStats:
         """One solve at the max window size (reference
         ResolveWithConstraints / OptimizeOverMaxWindow, solver.cc:662-674):
@@ -576,10 +637,12 @@ class Solver:
         sweep's small windows add nothing."""
         cfg = self.config
         w = cfg.get_int("lidar_constraint_amount_max")
+        solver_kind = self._resolve_solver()
+        if self.mesh is not None and optimization_type == "feature":
+            return self._solve_slam_sharded(solver_kind, w_min=w, w_max=w)
         stats = SolveStats()
         x = self._current_x()
         fixed = self._fixed_mask()
-        solver_kind = self._resolve_solver()
         t0 = time.perf_counter()
         graph = self.build_graph(x, w, optimization_type,
                                  exclude_long_range=solver_kind == "band")

@@ -27,6 +27,14 @@ if not _TPU_LANE:
     # the axon platform via jax.config, overriding JAX_PLATFORMS; force CPU
     # back.
     jax.config.update("jax_platforms", "cpu")
+    # No persistent compile cache for the CPU suite: XLA:CPU cache entries
+    # embed AOT machine code, and deserializing a stale/foreign-host
+    # artifact SIGSEGVs the whole run (the round-4/5 suite flake — crash
+    # stack: compilation_cache.get_executable_and_time).  The suite is one
+    # process, so jax's in-memory cache already dedups compiles within the
+    # run; the persistent cache only saved cross-run compile time, which is
+    # not worth a segfault class of flake.
+    jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -9,8 +9,13 @@ native:
 	python -c "from nautilus_tpu.ingest.native import get_lib; \
 	           print('native bag reader:', 'ok' if get_lib() else 'unavailable')"
 
+# Suite runs split across 4 worker processes (pytest-xdist, one file per
+# worker at a time): a full single-process run accumulates hundreds of
+# compiled XLA:CPU programs and eventually trips a native-codegen
+# segfault inside LLVM (ROUND_NOTES r5 item 6); per-worker state stays
+# far below the threshold, and the wall clock drops ~2x as a bonus.
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -n 4 --dist loadfile
 
 # On-device parity lane (tests/test_tpu_parity.py): needs a real TPU.
 test-tpu:

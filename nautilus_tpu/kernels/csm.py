@@ -55,10 +55,14 @@ class CSMParams(NamedTuple):
     high_res: float = 0.01
     sigma: float = 0.06            # Gaussian smear of the lookup table
     rotation_restriction: float = math.pi / 2   # +- rotation window
-    # Pallas coarse-correlation kernel (kernels/csm_pallas.py).  The
-    # default im2col-matmul formulation (_correlate_matmul) outruns it on
-    # v5e (~200 vs ~140 pairs/s at batch 16) because the contraction rides
-    # the MXU; the kernel is kept as a reference implementation.
+    # Pallas coarse-correlation kernels (kernels/csm_pallas.py).  The
+    # default im2col-matmul formulation (_correlate_matmul) outruns both
+    # the correlation-only kernel (~200 vs ~140 pairs/s at batch 16) AND
+    # the fused raster+correlate kernel (37.0 vs 46.6 ms per 4x320
+    # coarse sweep, benchmarks/logs/csm-fused-pallas-ab.log) because the
+    # contraction rides the MXU while the kernels reduce on the VPU; the
+    # kernels are retired to exact-f32 oracle roles for the bf16
+    # production path.
     use_pallas: bool = False
     # Nearest target points per source point used by the fine stages.  The
     # Gaussian (sigma ~6 cm) makes anything beyond the first few neighbors

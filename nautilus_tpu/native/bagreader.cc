@@ -113,25 +113,42 @@ struct Cobot {
 };
 
 struct Reader {
+  // Bounds-checked sequential reader: a truncated or corrupt message must
+  // set `fail` and yield zeros, never read past `n` (an unchecked
+  // file-controlled length here is an out-of-bounds read on hostile bags).
   const uint8_t* p;
   size_t n;
   size_t off = 0;
+  bool fail = false;
 
   bool ok(size_t k) const { return off + k <= n; }
-  uint8_t u8() { return p[off++]; }
+  bool need(size_t k) {
+    if (!ok(k)) {
+      fail = true;
+      return false;
+    }
+    return true;
+  }
+  uint8_t u8() {
+    if (!need(1)) return 0;
+    return p[off++];
+  }
   uint32_t u32() {
+    if (!need(4)) return 0;
     uint32_t v;
     std::memcpy(&v, p + off, 4);
     off += 4;
     return v;
   }
   float f32() {
+    if (!need(4)) return 0.0f;
     float v;
     std::memcpy(&v, p + off, 4);
     off += 4;
     return v;
   }
   double f64() {
+    if (!need(8)) return 0.0;
     double v;
     std::memcpy(&v, p + off, 8);
     off += 8;
@@ -139,6 +156,7 @@ struct Reader {
   }
   std::string str() {
     uint32_t k = u32();
+    if (!need(k)) return std::string();
     std::string s(reinterpret_cast<const char*>(p + off), k);
     off += k;
     return s;
@@ -206,6 +224,10 @@ void decode_scan(const uint8_t* data, size_t n, int64_t order, double rtime,
   s.range_min = r.f32();
   s.range_max = r.f32();
   uint32_t k = r.u32();
+  if (r.fail || !r.need(4ull * k)) {
+    bag->error = "truncated LaserScan record";
+    return;
+  }
   s.ranges.resize(k);
   if (k) std::memcpy(s.ranges.data(), r.p + r.off, 4ull * k);
   bag->scans.push_back(std::move(s));
@@ -226,6 +248,10 @@ void decode_odom(const uint8_t* data, size_t n, int64_t order, double rtime,
   o.qy = r.f64();
   o.qz = r.f64();
   o.qw = r.f64();
+  if (r.fail) {
+    bag->error = "truncated Odometry record";
+    return;
+  }
   bag->odoms.push_back(o);
 }
 
@@ -239,6 +265,10 @@ void decode_cobot(const uint8_t* data, size_t n, int64_t order, double rtime,
   c.dr = r.f32();
   c.dx = r.f32();
   c.dy = r.f32();
+  if (r.fail) {
+    bag->error = "truncated CobotOdometryMsg record";
+    return;
+  }
   bag->cobots.push_back(c);
 }
 

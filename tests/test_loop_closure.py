@@ -170,6 +170,40 @@ class TestCorrelatePaths:
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
         np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-4)
 
+    def test_fused_coarse_pallas_matches_xla(self):
+        """The fused raster+correlate kernel (one-hots/rasters never in
+        HBM) equals the XLA raster -> correlate composition exactly."""
+        from nautilus_tpu.kernels.csm import _raster, _correlate_matmul
+        from nautilus_tpu.kernels.csm_pallas import fused_coarse_pallas
+        rng = np.random.default_rng(5)
+        C, P, R = 2, 48, 8
+        cells, noff = 16, 5
+        res, hw = 0.5, 4.0
+        T = cells + noff - 1
+        pts = rng.uniform(-3.5, 3.5, (C, P, 2)).astype(np.float32)
+        mask = rng.random((C, P)) > 0.2
+        parked = np.where(mask[..., None], pts, 1e6).astype(np.float32)
+        thetas = rng.uniform(-1.5, 1.5, (C, R)).astype(np.float32)
+        tables = rng.normal(size=(C, T, T)).astype(np.float32)
+
+        def ref_one(c):
+            rast = []
+            for r in range(R):
+                th = thetas[c, r]
+                ct, st = np.cos(th), np.sin(th)
+                rp = pts[c] @ np.array([[ct, st], [-st, ct]], np.float32)
+                rast.append(_raster(jnp.asarray(rp), jnp.asarray(mask[c]),
+                                    hw, res, cells))
+            return np.asarray(_correlate_matmul(
+                jnp.asarray(tables[c]), jnp.stack(rast), jnp.float32))
+
+        ref = np.stack([ref_one(c) for c in range(C)])
+        out = np.asarray(fused_coarse_pallas(
+            jnp.asarray(parked), jnp.asarray(thetas), jnp.asarray(tables),
+            cells=cells, noff=noff, halfwidth=hw, res=res, rot_block=4,
+            interpret=True))
+        np.testing.assert_array_equal(out, ref.reshape(out.shape))
+
 
 class TestCandidateFilter:
     def test_spacing_and_spread(self):

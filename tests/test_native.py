@@ -205,3 +205,30 @@ def test_randomized_bag_parity(tmp_path, seed):
                     nm.msg.angle_increment)
             else:
                 np.testing.assert_allclose(pm.msg.position, nm.msg.position)
+
+
+def test_truncated_scan_record_errors_not_crashes(tmp_path):
+    """A LaserScan record whose ranges-count field exceeds the record is a
+    bounds-checked parse error (native reader Reader::need), never an
+    out-of-bounds read."""
+    import struct
+    path = tmp_path / "trunc.bag"
+    n_ranges = 7
+    scan = rb.LaserScanMsg(
+        header=rb.HeaderMsg(0, 2.0, "laser"),
+        angle_min=-np.pi, angle_max=np.pi, angle_increment=0.1,
+        time_increment=0.0, scan_time=0.1, range_min=0.02, range_max=30.0,
+        ranges=np.arange(1, n_ranges + 1, dtype=np.float32),
+        intensities=np.zeros(0, np.float32))
+    rb.write_bag(path, [("/scan", 2.0, scan)], compression="none")
+    raw = path.read_bytes()
+    # The ranges array is serialized as u32 count + floats; patch the
+    # count to a huge value so the record claims more data than exists.
+    needle = struct.pack("<I", n_ranges) + struct.pack("<f", 1.0)
+    idx = raw.find(needle)
+    assert idx >= 0
+    patched = (raw[:idx] + struct.pack("<I", 0x7FFFFFF0)
+               + raw[idx + 4:])
+    path.write_bytes(patched)
+    with pytest.raises(ValueError, match="truncated LaserScan"):
+        read_bag_native(path, "/scan", "/odom")

@@ -68,6 +68,9 @@ def _match_pair(src_pts, src_mask, src_nrm, tgt_pts, tgt_mask, tgt_nrm,
     """Match one pair's source features [S, 2] against target features [T, 2].
 
     Returns (tgt_match [S, 2], tgt_match_nrm [S, 2], valid [S]).
+
+    Parity oracle for `associate` (pair-at-a-time formulation; the
+    production path batches with the pair dim minor — see below).
     """
     proj = geo.relative_pose_transform_points(pose_s, pose_t, src_pts)
     diff = proj[:, None, :] - tgt_pts[None, :, :]
@@ -98,6 +101,17 @@ def associate(problem: SLAMProblem, x, pair_src, pair_tgt, window,
     feature: "planar" | "edge" | "all" — which per-node point set to match
     (reference PointcloudType, solver.h:67).  The window enters as a pair
     mask: pairs with src - tgt > window contribute no correspondences.
+
+    Layout: every [S, T]-shaped intermediate is computed with the (huge)
+    pair dim Q MINOR — [S, T, Q], [S, Q] — so Q rides the 128-wide lane
+    axis.  The feature sets are tiny (S = T ~ 10-20 for planar/edge), and
+    a [Q, S, T] layout pads T up to 128 lanes (6.4x physical traffic on
+    every elementwise pass); measured at N=20000 the pair-minor form is
+    7.9x faster (245 -> 31 ms, benchmarks/logs/assoc-ab-c.log,
+    benchmarks/assoc_ab.py).  Matched points are gathered by a one-hot
+    sum over the tiny T axis (exact: adds zeros).  Results are bitwise
+    identical to the pair-at-a-time oracle `_match_pair` (same fp ops per
+    element, first-min argmin ties).
     """
     if feature == "planar":
         pts, msk = problem.planar_points, problem.planar_mask
@@ -110,21 +124,37 @@ def associate(problem: SLAMProblem, x, pair_src, pair_tgt, window,
     else:
         raise ValueError(feature)
 
-    pair_valid = (pair_src - pair_tgt) <= window
+    pair_valid = (pair_src - pair_tgt) <= window             # [Q]
 
-    def one(s, t, pv):
-        tgt_match, tgt_match_nrm, valid = _match_pair(
-            pts[s], msk[s], nrm[s], pts[t], msk[t], nrm[t],
-            outlier_threshold, normal_gate_cos, x[s], x[t], use_normal_gate)
-        return tgt_match, tgt_match_nrm, valid & pv
+    proj = jax.vmap(geo.relative_pose_transform_points)(
+        x[pair_src], x[pair_tgt], pts[pair_src])             # [Q, S, 2]
+    projT = jnp.transpose(proj, (1, 2, 0))                   # [S, 2, Q]
+    tgtT = jnp.transpose(pts[pair_tgt], (1, 2, 0))           # [T, 2, Q]
+    tmskT = jnp.transpose(msk[pair_tgt], (1, 0))             # [T, Q]
+    tnrmT = jnp.transpose(nrm[pair_tgt], (1, 2, 0))          # [T, 2, Q]
 
-    tgt_match, tgt_match_nrm, valid = jax.vmap(one)(pair_src, pair_tgt,
-                                                    pair_valid)
+    diff = projT[:, None] - tgtT[None]                       # [S, T, 2, Q]
+    d2 = jnp.sum(diff * diff, axis=2)                        # [S, T, Q]
+    ok = tmskT[None]
+    if use_normal_gate:
+        snrmT = jnp.transpose(nrm[pair_src], (1, 2, 0))      # [S, 2, Q]
+        sim = jnp.abs(jnp.sum(snrmT[:, None] * tnrmT[None],
+                              axis=2)) > normal_gate_cos     # [S, T, Q]
+        ok = ok & sim
+    d2 = jnp.where(ok, d2, jnp.inf)
+    nn = jnp.argmin(d2, axis=1)                              # [S, Q]
+    dmin = jnp.min(d2, axis=1)                               # [S, Q]
+    srcmT = jnp.transpose(msk[pair_src], (1, 0))             # [S, Q]
+    valid = srcmT & (dmin < outlier_threshold ** 2) & pair_valid[None]
+    onehot = (nn[:, None, :] ==
+              jnp.arange(tgtT.shape[0])[None, :, None])      # [S, T, Q]
+    tm = jnp.sum(jnp.where(onehot[:, :, None], tgtT[None], 0.0), axis=1)
+    tn = jnp.sum(jnp.where(onehot[:, :, None], tnrmT[None], 0.0), axis=1)
     return Correspondences(
         src=pair_src, tgt=pair_tgt,
-        src_pts=pts[pair_src], tgt_pts=tgt_match,
-        src_nrm=nrm[pair_src], tgt_nrm=tgt_match_nrm,
-        mask=valid)
+        src_pts=pts[pair_src], tgt_pts=jnp.transpose(tm, (2, 0, 1)),
+        src_nrm=nrm[pair_src], tgt_nrm=jnp.transpose(tn, (2, 0, 1)),
+        mask=jnp.transpose(valid, (1, 0)))
 
 
 @functools.partial(jax.jit,

@@ -442,11 +442,15 @@ def test_staged_fused_sweep_matches_unstaged():
     st_staged = s_staged.solve_slam()
 
     assert len(st_staged.windows) == len(st_full.windows) == 4
+    # Costs come from two different-shape compiled programs (half-width
+    # prefix vs full-width), so XLA may fuse/FMA/tree-reduce the f32 cost
+    # sum differently; the per-pair matches themselves are pinned bitwise
+    # by test_pair_minor_layout_matches_oracle.  5e-5 ~ a few dozen ulps.
     for wf, ws in zip(st_full.windows, st_staged.windows):
         assert wf.window == ws.window
         np.testing.assert_allclose(ws.initial_cost, wf.initial_cost,
-                                   rtol=1e-5)
-        np.testing.assert_allclose(ws.final_cost, wf.final_cost, rtol=1e-5)
+                                   rtol=5e-5)
+        np.testing.assert_allclose(ws.final_cost, wf.final_cost, rtol=5e-5)
     np.testing.assert_allclose(state.solution, sol_full, rtol=1e-4,
                                atol=1e-5)
 

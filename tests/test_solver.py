@@ -211,6 +211,36 @@ class TestEndToEnd:
                 np.testing.assert_allclose(np.asarray(corr.tgt_pts)[q, a],
                                            tp[nn], atol=1e-6)
 
+    @pytest.mark.parametrize("gate", [False, True])
+    @pytest.mark.parametrize("feature", ["planar", "edge"])
+    def test_pair_minor_layout_matches_oracle(self, gate, feature):
+        """The production pair-minor-layout associate (Q on the lane axis,
+        7.9x at N=20000 — benchmarks/assoc_ab.py) is bitwise identical to
+        the pair-at-a-time oracle _match_pair, normal gate included."""
+        state, _ = make_problem(num_nodes=10, world_kind="office",
+                                num_beams=360, seed=11,
+                                odom_noise_trans=0.03, odom_noise_rot=0.01)
+        problem = state.problem
+        pairs = correspond.make_pairs(10, 4)
+        x = jnp.asarray(state.solution, jnp.float32)
+        corr = correspond.associate(
+            problem, x, jnp.asarray(pairs.src), jnp.asarray(pairs.tgt),
+            3, 0.25, feature=feature, use_normal_gate=gate)
+        pts = getattr(problem, f"{feature}_points")
+        msk = getattr(problem, f"{feature}_mask")
+        nrm = getattr(problem, f"{feature}_normals")
+        for q in range(len(pairs.src)):
+            s, t = int(pairs.src[q]), int(pairs.tgt[q])
+            tm, tn, valid = correspond._match_pair(
+                pts[s], msk[s], nrm[s], pts[t], msk[t], nrm[t],
+                jnp.asarray(0.25, jnp.float32), 0.9396926, x[s], x[t], gate)
+            valid = np.asarray(valid) & ((s - t) <= 3)
+            np.testing.assert_array_equal(np.asarray(corr.mask)[q], valid)
+            np.testing.assert_array_equal(
+                np.asarray(corr.tgt_pts)[q][valid], np.asarray(tm)[valid])
+            np.testing.assert_array_equal(
+                np.asarray(corr.tgt_nrm)[q][valid], np.asarray(tn)[valid])
+
 
 class TestAllMode:
     def test_all_optimization_type(self):

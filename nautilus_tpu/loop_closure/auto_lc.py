@@ -241,9 +241,15 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
 
     candidates = get_lc_candidates(state)
     if cfg.get("keyframe_local_uncertainty_filtering", False):
-        from nautilus_tpu.loop_closure.keyframes import select_keyframes
-        kf = select_keyframes(state, cfg)
-        candidates = [c for c in candidates if kf[c]]
+        # Uncertainty criterion only — NOT membership of the sequential
+        # 0.5 m keyframe chain: the candidate filter already enforced its
+        # own 5 m spacing, and intersecting two independent spacing
+        # chains drops candidates by phase parity (see
+        # keyframes.candidate_uncertainty_ok).
+        from nautilus_tpu.loop_closure.keyframes import (
+            candidate_uncertainty_ok)
+        ok = candidate_uncertainty_ok(state, cfg, candidates)
+        candidates = [c for c, o in zip(candidates, ok) if o]
     report.candidates = candidates
     if verbose:
         print(f"Auto-LC: {len(candidates)} candidate scans.")

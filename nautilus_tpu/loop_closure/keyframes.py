@@ -84,6 +84,72 @@ def _batched_local_uncertainty(state: SLAMState, prev_scans: int):
     return np.asarray(conds), np.asarray(scales)
 
 
+def candidate_uncertainty_ok(state: SLAMState, config, nodes) -> np.ndarray:
+    """Local-uncertainty criterion (only) evaluated at the given nodes.
+
+    The auto-LC candidate filter already enforces its own 5 m spacing
+    (lc_candidate_filter.cc:53-67), so gating candidates on *membership
+    of the sequential 0.5 m keyframe chain* (select_keyframes) would drop
+    them by arbitrary phase alignment between the two spacing chains —
+    measured on the flagship bench world it discarded 15/22 candidates
+    whose uncertainty scores all passed.  What
+    ``keyframe_local_uncertainty_filtering`` means for auto-LC
+    (default_config.lua:105-116: scans whose local registration is
+    well-conditioned are "one step closer to being used for automatic
+    lc") is the uncertainty criterion itself, evaluated here per
+    candidate over its ``local_uncertainty_prev_scans`` merged
+    neighborhood.  Returns a bool mask aligned with ``nodes``.
+    """
+    import jax.numpy as jnp
+
+    idx = np.asarray(nodes, np.int64)
+    if idx.size == 0:
+        return np.zeros(0, bool)
+    cond_thresh = float(config.get("local_uncertainty_condition_threshold",
+                                   9.5))
+    scale_thresh = float(config.get("local_uncertainty_scale_threshold", 2.5))
+    prev_scans = int(config.get("local_uncertainty_prev_scans", 2))
+
+    # Pow2-bucketed candidate count so candidate-list growth costs O(log)
+    # recompiles of this (small) program.
+    b = 8
+    while b < idx.size:
+        b *= 2
+    pad = np.concatenate([idx, np.zeros(b - idx.size, np.int64)])
+
+    pts = jnp.asarray(state.problem.points)
+    msk = jnp.asarray(state.problem.points_mask)
+    nrm = jnp.asarray(state.problem.normals)
+    sol = jnp.asarray(state.solution, pts.dtype)
+    th_i = sol[pad, 2]
+    t_i = sol[pad, :2]
+    c_i, s_i = jnp.cos(th_i), jnp.sin(th_i)
+    pieces_p, pieces_m, pieces_n = [], [], []
+    for s in range(prev_scans + 1):
+        j = jnp.maximum(jnp.asarray(pad) - s, 0)
+        pj, mj, nj = pts[j], msk[j] & (jnp.asarray(pad) >= s)[:, None], nrm[j]
+        th_j, t_j = sol[j, 2], sol[j, :2]
+        dth = th_j - th_i
+        c, sn = jnp.cos(dth)[:, None], jnp.sin(dth)[:, None]
+        px = c * pj[..., 0] - sn * pj[..., 1]
+        py = sn * pj[..., 0] + c * pj[..., 1]
+        dt = t_j - t_i
+        dx = c_i[:, None] * dt[:, None, 0] + s_i[:, None] * dt[:, None, 1]
+        dy = -s_i[:, None] * dt[:, None, 0] + c_i[:, None] * dt[:, None, 1]
+        pieces_p.append(jnp.stack([px + dx, py + dy], axis=-1))
+        pieces_n.append(jnp.stack([c * nj[..., 0] - sn * nj[..., 1],
+                                   sn * nj[..., 0] + c * nj[..., 1]],
+                                  axis=-1))
+        pieces_m.append(mj)
+    conds, scales = jax.vmap(local_uncertainty)(
+        jnp.concatenate(pieces_p, axis=1),
+        jnp.concatenate(pieces_m, axis=1),
+        jnp.concatenate(pieces_n, axis=1))
+    conds = np.asarray(conds)[:idx.size]
+    scales = np.asarray(scales)[:idx.size]
+    return (conds < cond_thresh) & (scales < scale_thresh)
+
+
 def select_keyframes(state: SLAMState, config) -> np.ndarray:
     """Returns a bool mask [N] of keyframe nodes per the config policy."""
     n = state.num_nodes

@@ -133,17 +133,26 @@ def build_hitl_factors(state: SLAMState, dtype=jnp.float32) -> HitlFactors:
         from nautilus_tpu.solve.factors import empty_hitl
         return empty_hitl(dtype)
     # Power-of-two bucketed padding with generous floors: typical curation
-    # sessions (tens of constrained poses, a few hundred points each) stay
-    # inside ONE compiled shape; growth beyond the floor costs O(log)
-    # recompiles.  Masked padding is near-free at solve time.
+    # sessions stay inside ONE compiled shape; growth beyond the floor
+    # costs O(log) recompiles.  Masked padding is near-free at solve time.
     def bucket(n, lo):
         b = lo
         while b < n:
             b *= 2
         return b
 
+    # Row floor scales with the graph (pow2 >= N/2): a wall-length
+    # operator line at GDC scale selects hundreds of poses, and the
+    # prewarm (prewarm_hitl) can only pre-compile the first callback's
+    # shape if any plausible first message lands in the SAME bucket —
+    # with a fixed floor of 32 the prewarm message and the operator's
+    # message routinely straddled a pow2 boundary, and the "prewarmed"
+    # first callback recompiled anyway (measured 20 s at N=1000).
+    row_floor = 32
+    while row_floor < state.num_nodes // 2:
+        row_floor *= 2
     kmax = bucket(max(max(len(p) for _, _, p, _ in rows), 1), 512)
-    r = bucket(len(rows), 32)
+    r = bucket(len(rows), row_floor)
     n_real_rows = len(rows)
     node = np.zeros(r, np.int32)
     line = np.zeros(r, np.int32)

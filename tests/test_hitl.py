@@ -172,3 +172,31 @@ class TestPrewarm:
         hitl_callback(solver, msg, verbose=False)
         assert len(state.hitl_constraints) == n_constraints + 1
         assert np.all(np.isfinite(state.solution))
+
+
+class TestPrewarmBucketAlignment:
+    def test_prewarm_and_operator_msgs_share_row_bucket(self):
+        """build_hitl_factors' row floor scales with the graph (pow2 >=
+        N/2), so the prewarm message and any plausible operator first
+        message compile the SAME factor shape — with a fixed floor of 32
+        they routinely straddled a pow2 boundary and the 'prewarmed'
+        first callback recompiled anyway (20 s at N=1000)."""
+        from nautilus_tpu.solve.hitl import HitlConstraint, build_hitl_factors
+        state, _ = make_problem(num_nodes=120, world_kind="office",
+                                num_beams=180, seed=4)
+
+        def constraint(n_rows):
+            seg = (np.zeros(2), np.array([4.0, 0.0]))
+            rows = [(i, np.random.RandomState(i).randn(12, 2))
+                    for i in range(n_rows)]
+            return HitlConstraint(line_a=seg, line_b=seg,
+                                  line_a_poses=rows, line_b_poses=[],
+                                  line_pose_index=0)
+
+        shapes = []
+        for n_rows in (5, 40):   # straddles the old fixed floor of 32
+            state.hitl_constraints.append(constraint(n_rows))
+            shapes.append(build_hitl_factors(state).points.shape)
+            state.hitl_constraints.clear()
+        assert shapes[0] == shapes[1], shapes
+        assert shapes[0][0] == 64  # floor = pow2 >= N/2 = 64, not 32

@@ -232,3 +232,51 @@ class TestPrevScansUncertainty:
         assert scales2[2] < 2.5, scales2
         # Well-constrained nodes stay well-constrained either way.
         assert scales0[1] < 2.5 and scales2[3] < 2.5
+
+
+class TestCandidateUncertaintyGate:
+    """Auto-LC gates candidates on the uncertainty CRITERION, not on
+    membership of the sequential 0.5 m keyframe chain: the candidate
+    filter already enforces 5 m spacing, and intersecting two independent
+    spacing chains drops candidates by phase parity (on the flagship
+    bench world the chain discarded 15/22 candidates whose uncertainty
+    scores all passed, starving the loop-closure pipeline)."""
+
+    def test_subset_matches_batched_scores(self):
+        from nautilus_tpu.loop_closure.keyframes import (
+            _batched_local_uncertainty, candidate_uncertainty_ok)
+        state, _ = make_problem(num_nodes=16, world_kind="office",
+                                num_beams=360, seed=3)
+        conds, scales = _batched_local_uncertainty(state, prev_scans=2)
+        expect = (conds < 9.5) & (scales < 2.5)
+        nodes = [0, 3, 7, 11, 15]
+        cfg = load_config_text("keyframe_local_uncertainty_filtering=true\n")
+        ok = candidate_uncertainty_ok(state, cfg, nodes)
+        np.testing.assert_array_equal(ok, expect[nodes])
+
+    def test_well_conditioned_candidates_not_dropped_by_chain_phase(self):
+        from nautilus_tpu.loop_closure.keyframes import (
+            candidate_uncertainty_ok, select_keyframes)
+        # Dense trajectory: the 0.5 m chain keeps only every k-th node, so
+        # arbitrary candidate indices routinely miss the chain — but every
+        # office-world scan here is well-conditioned, so the uncertainty
+        # criterion keeps them all.
+        state, _ = make_problem(num_nodes=24, world_kind="office",
+                                num_beams=360, seed=3)
+        cfg = load_config_text("keyframe_local_uncertainty_filtering=true\n")
+        kf = select_keyframes(state, cfg)
+        assert not kf.all()  # the chain drops some nodes by spacing alone
+        ok = candidate_uncertainty_ok(state, cfg,
+                                      list(range(state.num_nodes)))
+        assert ok.all(), ok
+
+    def test_degenerate_candidate_rejected(self):
+        from nautilus_tpu.loop_closure.keyframes import (
+            candidate_uncertainty_ok)
+        state, _ = make_problem(num_nodes=12, world_kind="office",
+                                num_beams=360, seed=3)
+        strict = load_config_text(
+            "keyframe_local_uncertainty_filtering=true\n"
+            "local_uncertainty_scale_threshold=0.0001\n")
+        ok = candidate_uncertainty_ok(state, strict, [2, 5, 9])
+        assert not ok.any()

@@ -105,7 +105,18 @@ def select_poses(state: SLAMState, msg: HitlSlamInputMsg, config) -> HitlConstra
                            (b_nodes, on_b, b_poses)):
         if not len(nodes):
             continue
-        idx = jnp.asarray(nodes, jnp.int32)
+        # Bucketed gather length with the same scale-aware floor as the
+        # HitlFactors row bucket (pow2 >= N/2), so the prewarm message and
+        # the operator's message reuse ONE compiled gather: per-shape
+        # gather compiles through the relay cost ~2 s each and were the
+        # residue keeping the prewarmed cold callback above 5 s.
+        b = 8
+        while b < state.num_nodes // 2:
+            b *= 2
+        while b < len(nodes):
+            b *= 2
+        padded = np.concatenate([nodes, np.zeros(b - len(nodes), np.int64)])
+        idx = jnp.asarray(padded, jnp.int32)
         masks, pts_sel = jax.device_get((on[idx], problem.points[idx]))
         for k, node in enumerate(nodes):
             out.append((int(node),

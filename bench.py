@@ -465,6 +465,11 @@ def _run(args):
                              if ate_cpu == ate_cpu else None),
         "ate_m_closed": round(ate_closed, 4),
         "auto_lc_s": round(auto_lc_wall, 2),
+        # Per-stage attribution (candidates / gate / csm / resolve and
+        # resolve_wait = residual block on the prewarmed re-solve compile
+        # that auto_lc overlaps with the CSM stage).
+        "auto_lc_stages": {k: round(v, 2)
+                           for k, v in lc_report.stage_walls.items()},
         "lc_candidates": len(lc_report.candidates),
         "lc_gated_pairs": len(lc_report.gated_pairs),
         "lc_accepted": len(lc_report.accepted),

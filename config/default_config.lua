@@ -83,3 +83,7 @@ linear_solver="auto"                 -- "band" (block-band Cholesky, the
 lr_factor_cap=341                    -- max long-range loop closures the band
                                      -- solver folds in as Woodbury columns
                                      -- (3 per closure; memory ~ N * cap)
+auto_lc_prewarm=true                 -- compile the post-closure re-solve
+                                     -- concurrently with the CSM stage
+                                     -- (auto-LC wall = max of the two
+                                     -- compiles instead of their sum)

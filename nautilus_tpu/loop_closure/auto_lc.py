@@ -38,6 +38,85 @@ class AutoLCReport:
     csm_results: List[Tuple[int, int, float, np.ndarray]]  # (s, t, score, [tx ty th])
     accepted: List[Tuple[int, int]]
     applied: bool = False
+    # Wall seconds per stage (candidates / gate / csm / resolve +
+    # resolve_wait = time the final re-solve blocked on the overlapped
+    # prewarm compile), so a slow auto-LC pass is attributable from the
+    # bench JSON without a device profiler.
+    stage_walls: dict = dataclasses.field(default_factory=dict)
+
+
+def _start_resolve_prewarm(solver, n_gated: int):
+    """Compile the post-closure re-solve program concurrently with CSM.
+
+    The re-solve at max window is the first program in the session with
+    long-range Woodbury factors, so it pays a fresh XLA compile (10-400 s
+    through the axon relay) exactly once per lr-bucket shape.  The
+    accepted count is unknown until CSM scores the pairs, but it is
+    bounded by the gated count — so hint the solver's lr bucket to cover
+    ALL gated pairs (every bucket the real re-solve could need collapses
+    to this one), then compile that program on a throwaway twin of the
+    state (same pattern as hitl.prewarm_hitl) in a daemon thread while
+    the CSM batch runs.  Returns (thread, shadow_solver) or None.
+    """
+    import threading
+    from nautilus_tpu.core.problem import SLAMState
+    from nautilus_tpu.solve.solver import Solver
+
+    state = solver.state
+    if state.num_nodes < 3:
+        return None
+    b = 4
+    while b < n_gated:
+        b *= 2
+    # The REAL re-solve must pad to the same bucket the shadow compiles.
+    solver._lr_bucket = max(int(getattr(solver, "_lr_bucket", 0)), b)
+    twin = SLAMState(
+        problem=state.problem,
+        solution=state.solution.copy(),
+        timestamps=state.timestamps,
+        hitl_constraints=list(state.hitl_constraints),
+        line_poses=state.line_poses.copy(),
+        odometry_factors=state.odometry_factors,
+        initial_odometry_factors=state.initial_odometry_factors,
+        lc_factors=list(state.lc_factors))
+    shadow = Solver(twin, solver.config,
+                    lm_params=solver.lm_params,
+                    linear_solver=solver.linear_solver,
+                    use_normal_gate=solver.use_normal_gate,
+                    fused_sweep=solver.fused_sweep,
+                    staged_fused=solver.staged_fused,
+                    assembly=solver.assembly,
+                    mesh=solver.mesh)
+    shadow._odom_bucket = getattr(solver, "_odom_bucket", 0)
+    shadow._lr_bucket = solver._lr_bucket
+    # One zero-residual long-range factor (relative pose implied by the
+    # current solution; transform maps cloud s into cloud t's frame, the
+    # relative_pose_factor convention) makes the twin's factor set
+    # lr-augmented without perturbing its (discarded) solve.
+    s, t = 0, state.num_nodes - 1
+    sol = state.solution
+    th_t = sol[t, 2]
+    c, sn = np.cos(-th_t), np.sin(-th_t)
+    d = sol[s, :2] - sol[t, :2]
+    transform = np.array([c * d[0] - sn * d[1], sn * d[0] + c * d[1],
+                          wrap_angle(sol[s, 2] - th_t)])
+    wt = float(solver.config.lc_translation_weight)
+    wr = float(solver.config.lc_rotation_weight)
+    twin.lc_factors.append(
+        relative_pose_factor(twin, s, t, transform, wt, wr))
+
+    def run():
+        try:
+            shadow.solve_max_window()
+        except Exception:
+            # Prewarm is best-effort: on any failure the real re-solve
+            # simply pays the compile itself, as before.
+            pass
+
+    thread = threading.Thread(target=run, daemon=True,
+                              name="auto-lc-resolve-prewarm")
+    thread.start()
+    return thread, shadow
 
 
 def _csm_params_from_config(cfg) -> CSMParams:
@@ -234,11 +313,13 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
                   csm_params: CSMParams = None,
                   use_descriptor_gate: bool = False) -> AutoLCReport:
     """Full auto-LC pass over the solver's state."""
+    import time as _time
     state = solver.state
     cfg = solver.config
     report = AutoLCReport(candidates=[], gated_pairs=[], csm_results=[],
                           accepted=[])
 
+    _t0 = _time.perf_counter()
     candidates = get_lc_candidates(state)
     if cfg.get("keyframe_local_uncertainty_filtering", False):
         # Uncertainty criterion only — NOT membership of the sequential
@@ -251,6 +332,8 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
         ok = candidate_uncertainty_ok(state, cfg, candidates)
         candidates = [c for c, o in zip(candidates, ok) if o]
     report.candidates = candidates
+    report.stage_walls["candidates"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
     if verbose:
         print(f"Auto-LC: {len(candidates)} candidate scans.")
     if solver.visualizer is not None:
@@ -290,6 +373,7 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
             if key not in seen:
                 seen.add(key)
                 report.gated_pairs.append(key)
+    report.stage_walls["gate"] = _time.perf_counter() - _t0
     if verbose:
         print(f"Auto-LC: {len(report.gated_pairs)} pairs pass the "
               f"chi-square gate.")
@@ -308,6 +392,18 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
     if not report.gated_pairs:
         return report
 
+    # Overlap the post-closure re-solve's compile with the CSM stage:
+    # both are first-use program shapes, and through the axon relay each
+    # costs tens of seconds, so compiling them concurrently makes the
+    # auto-LC wall max(csm, resolve-compile) instead of their sum.
+    prewarm = None
+    if apply and bool(cfg.get("auto_lc_prewarm", True)):
+        try:
+            prewarm = _start_resolve_prewarm(solver, len(report.gated_pairs))
+        except Exception:
+            prewarm = None
+
+    _t0 = _time.perf_counter()
     # CSM over gated pairs: one padded device dispatch for the whole list.
     # lc_match_window_size (config default_config.lua:139, declared but
     # unread in the reference: "frames in the window around a keyframe to
@@ -379,12 +475,24 @@ def solve_auto_lc(solver, apply: bool = True, verbose: bool = True,
             if apply:
                 state.lc_factors.append(
                     relative_pose_factor(state, s, t, transforms[k], wt, wr))
+    report.stage_walls["csm"] = _time.perf_counter() - _t0
     if verbose:
         print(f"Auto-LC: {len(report.accepted)} matches above CSM score "
               f"threshold ({threshold}).")
+    if prewarm is not None:
+        # Wait for the overlapped compile; on timeout/failure the real
+        # re-solve below compiles itself (correctness unaffected).
+        _t0 = _time.perf_counter()
+        thread, shadow = prewarm
+        thread.join(timeout=600.0)
+        solver._odom_bucket = max(getattr(solver, "_odom_bucket", 0),
+                                  getattr(shadow, "_odom_bucket", 0))
+        report.stage_walls["resolve_wait"] = _time.perf_counter() - _t0
     if apply and report.accepted:
         # Reference ResolveWithConstraints solves once at the max window
         # after injecting LC constraints (solver.cc:662-674).
+        _t0 = _time.perf_counter()
         solver.solve_max_window()
+        report.stage_walls["resolve"] = _time.perf_counter() - _t0
         report.applied = True
     return report

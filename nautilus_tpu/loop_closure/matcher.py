@@ -149,8 +149,18 @@ class LCMatcher:
             groups.setdefault(max(min(s, t) - 1, 0), []).append((s, t))
         results = self._pair_cache
         for fixed_pose, group in groups.items():
-            ss = jnp.asarray([g[0] for g in group], jnp.int32)
-            tt = jnp.asarray([g[1] for g in group], jnp.int32)
+            # Pow2-bucketed pair count (repeat-pad with the first pair;
+            # every pair's cross-covariance is independent, so padding
+            # rows are simply dropped below).  Unbucketed, each distinct
+            # group size was a fresh XLA compile — through the axon
+            # relay that is 10-400 s PER SIZE, which dominated the
+            # device auto-LC wall (bench-r5 auto_lc_s ~150-180 s).
+            b = 4
+            while b < len(group):
+                b *= 2
+            padded = group + [group[0]] * (b - len(group))
+            ss = jnp.asarray([g[0] for g in padded], jnp.int32)
+            tt = jnp.asarray([g[1] for g in padded], jnp.int32)
             if self._sys is not None:
                 blocks = _cross_cov_blocks_band(self._sys, fixed_pose,
                                                 ss, tt)

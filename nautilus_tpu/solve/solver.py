@@ -353,9 +353,15 @@ class Solver:
         wt = np.asarray([f[4] for f in lr], np.float64)
         wr = np.asarray([f[5] for f in lr], np.float64)
         k = len(lr)
+        # High-water-mark bucket (like _odom_bucket): auto-LC prewarms the
+        # post-closure re-solve by hinting this to cover all gated pairs
+        # BEFORE CSM decides the accepted count, so the prewarmed program
+        # is the one the real re-solve uses regardless of how many pairs
+        # clear the score threshold (auto_lc._start_resolve_prewarm).
         b = 4
-        while b < k:
+        while b < max(k, int(getattr(self, "_lr_bucket", 0))):
             b *= 2
+        self._lr_bucket = b
         pad = b - k
         return OdomFactors(
             i=jnp.asarray(np.pad(i, (0, pad)), jnp.int32),

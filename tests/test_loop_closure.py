@@ -647,3 +647,77 @@ class TestMatchWindow:
             assert abs(t1 - t0) <= 1
             assert sc1 >= sc0 - 1e-6
         assert len(r1.accepted) >= len(r0.accepted)
+
+
+class TestMatcherBucketedGroups:
+    def test_grouped_scores_match_individual(self):
+        """_scores pads each re-gauge group to a pow2 pair bucket (one
+        compiled shape for all group sizes); padded rows must not shift
+        or contaminate the real pairs' covariances."""
+        state, _ = make_problem(num_nodes=14, world_kind="room",
+                                num_beams=360, seed=4,
+                                odom_noise_trans=0.02, odom_noise_rot=0.008)
+        cfg = load_config_text(CFG)
+        solver = Solver(state, cfg)
+        solver.solve_slam()
+        x = solver._current_x()
+        graph = solver.build_graph(x, 3)
+        # Group sizes 5, 2, 1 (keyed by min(s,t)-1): 5 pads to 8, 2 to 4.
+        pairs = [(2, 5), (2, 7), (2, 9), (2, 11), (2, 13),
+                 (3, 6), (3, 12), (4, 8)]
+        batch = LCMatcher(state, graph)._scores(pairs)
+        for (s, t), (cov, sc) in zip(pairs, batch):
+            cov1, sc1 = LCMatcher(state, graph).chi_square_score(s, t)
+            np.testing.assert_allclose(cov, cov1, rtol=1e-6, atol=1e-12,
+                                       err_msg=f"pair {(s, t)}")
+            assert sc == pytest.approx(sc1, rel=1e-6, abs=1e-9)
+
+
+class TestLongRangeBucketHint:
+    def test_sticky_hinted_bucket(self):
+        """_long_range_factors pads to a high-water-mark pow2 bucket so
+        the auto-LC prewarm can pin the re-solve's program shape before
+        the accepted count is known."""
+        state, _ = make_problem(num_nodes=20, world_kind="room",
+                                num_beams=360, seed=4)
+        cfg = load_config_text(CFG)
+        solver = Solver(state, cfg)
+        rel = state.solution[17] - state.solution[1]
+        state.lc_factors.append((1, 17, rel[:2].copy(), float(rel[2]),
+                                 2.0, 2.0))
+        lr = solver._long_range_factors()
+        assert lr.mask.shape[0] == 4 and int(lr.mask.sum()) == 1
+        solver._lr_bucket = 16           # prewarm hint
+        lr = solver._long_range_factors()
+        assert lr.mask.shape[0] == 16 and int(lr.mask.sum()) == 1
+        for k in range(16):              # HWM never shrinks, grows past 16
+            state.lc_factors.append((1 + k % 3, 17, rel[:2].copy(),
+                                     float(rel[2]), 2.0, 2.0))
+        lr = solver._long_range_factors()
+        assert lr.mask.shape[0] == 32 and int(lr.mask.sum()) == 17
+        assert solver._lr_bucket == 32
+
+
+class TestAutoLCPrewarm:
+    def test_prewarm_parity_and_stage_walls(self):
+        """The overlapped re-solve prewarm (auto_lc_prewarm) must not
+        change the final map, and the stage walls must attribute the
+        pass."""
+        sols = {}
+        for pre in ("false", "true"):
+            state, gt = _reverse_traversal_state()
+            cfg = load_config_text(CFG + f"\nauto_lc_prewarm={pre}")
+            cfg = cfg.replace(csm_score_threshold=-3.5)
+            solver = Solver(state, cfg)
+            solver.solve_slam()
+            report = solve_auto_lc(solver, apply=True, verbose=False,
+                                   csm_params=CSMParams(scan_range=10.0,
+                                                        high_res=0.05))
+            assert report.applied
+            for key in ("candidates", "gate", "csm", "resolve"):
+                assert key in report.stage_walls, report.stage_walls
+            if pre == "true":
+                assert "resolve_wait" in report.stage_walls
+            sols[pre] = state.solution.copy()
+        np.testing.assert_allclose(sols["true"], sols["false"],
+                                   rtol=1e-6, atol=1e-8)
